@@ -123,7 +123,7 @@ def _gn_cn(alpha, n_max):
     init = (jnp.zeros_like(alpha), -jnp.ones_like(alpha),
             jnp.cos(alpha), -jnp.sin(alpha),
             jnp.zeros_like(alpha, dtype=bool),
-            jnp.full_like(alpha, n_max, dtype=jnp.int32))
+            jnp.full_like(alpha, n_max, dtype=jnp.int64))
     (rg, ig_, c, _, stopped, n2), (rgn, ign, cn) = lax_scan_over_n(
         step, init, n_max)
     return rgn, ign, cn, n2
@@ -172,22 +172,19 @@ def _dn_sn(alpha, rn, in_, n_max):
     ns = jnp.arange(n_max - 1, -1, -1, dtype=alpha.dtype)
     carry, (rdna_seq, rdnb_seq, idnb_seq, sn_seq, scales) = jax.lax.scan(
         step, init, ns)
-    # sequences are produced for i = n_max-1 .. 0; reorder ascending in n.
-    # sn_seq holds S_i (the "previous" value after the step for index i);
-    # S_0 is carry[3].
-    rdna = jnp.flip(rdna_seq, 0)        # D_i for i = 0..n_max-1 -> shift
+    # sequences are produced for i = n_max-1 .. 0; reorder ascending in i.
+    rdna = jnp.flip(rdna_seq, 0)        # D_i for i = 0..n_max-1
     rdnb = jnp.flip(rdnb_seq, 0)
     idnb = jnp.flip(idnb_seq, 0)
-    sna = jnp.flip(sn_seq, 0)           # S_i for i = 0..n_max-1
-    s0 = carry[3]
-    # renormalization scales applied later in the sweep must also divide the
-    # earlier (larger-n) values that were already emitted; accumulate the
-    # downstream product of scales for each emitted index.
-    log_corr = jnp.cumsum(jnp.log(jnp.flip(scales, 0)), axis=0)
-    # scales flipped ascending: scale applied at step i affects entries > i
-    corr = jnp.exp(log_corr - log_corr[0:1] * 0)
-    sna = sna / jnp.exp(log_corr[-1] - log_corr)
-    q = s0 / jnp.sin(alpha)
+    sna = jnp.flip(sn_seq, 0)           # S_i emitted at the step for index i
+    # The step for index i emits S_i already divided by that step's scale;
+    # the scales of the steps executed afterwards (indices i-1 .. 0) must
+    # divide it too, exactly like the reference's in-place renormalization
+    # of all previously stored terms (src/SOS_MIE.F:512-521).
+    log_sc = jnp.log(jnp.flip(scales, 0))
+    prefix_excl = jnp.cumsum(log_sc, axis=0) - log_sc
+    sna = sna / jnp.exp(prefix_excl)
+    q = sna[0] / jnp.sin(alpha)
     sna = sna / q
     # arrays indexed by n = 1..n_max correspond to positions 1..n_max-1 plus
     # the boundary S_{n_max} = 0; shift so index k holds order n = k+1.

@@ -1,0 +1,2 @@
+from .mesh import (  # noqa: F401
+    make_mesh, shard_solve_inputs, solve_scenes_sharded, ckd_reduce)
