@@ -27,6 +27,8 @@ from typing import Sequence
 import numpy as np
 
 from . import constants as cte
+from .legendre import alpha_zeta_from, gsf2_table as _gsf2_table_shared, \
+    legendre_table as _legendre_table_shared
 from .mie import MieResult
 
 
@@ -143,27 +145,8 @@ def mix_phase_matrices(components: Sequence[PhaseMatrix],
                        nb_particles=float(np.sum(nf)))
 
 
-def _legendre_table(x: np.ndarray, nb: int) -> np.ndarray:
-    """P_l(x) for l = 0..nb, shape (nb+1, len(x))."""
-    out = np.zeros((nb + 2, x.shape[0]))
-    out[0] = 1.0
-    if nb >= 0:
-        out[1] = x
-    for k in range(1, nb + 1):
-        out[k + 1] = ((2 * k + 1.0) * x * out[k] - k * out[k - 1]) / (k + 1.0)
-    return out[: nb + 1]
-
-
-def _gsf2_table(x: np.ndarray, nb: int) -> np.ndarray:
-    """Generalized P^2_l(x) table used for gamma12
-    (``src/SOS_AEROSOLS.F:4230-4246``)."""
-    out = np.zeros((nb + 2, x.shape[0]))
-    out[2] = 3.0 * (1.0 - x ** 2) / (2.0 * np.sqrt(6.0))
-    for k in range(2, nb + 1):
-        d = (2.0 * k + 1.0) / np.sqrt((k + 3.0) * (k - 1.0))
-        e = np.sqrt((k + 2.0) * (k - 2.0)) / (2.0 * k + 1.0)
-        out[k + 1] = d * (x * out[k] - e * out[k - 1])
-    return out[: nb + 1]
+_legendre_table = _legendre_table_shared
+_gsf2_table = _gsf2_table_shared
 
 
 def truncate_phase(p11: np.ndarray, mu: np.ndarray, w: np.ndarray):
@@ -244,26 +227,7 @@ def decompose_legendre(phase: PhaseMatrix, mu: np.ndarray, w: np.ndarray,
     delta33 = (pl * (w_signed * phase.p33 * ratio)).sum(axis=1) * ll * 0.5
 
     # alpha(k), zeta(k) from beta22/delta33 (:4279-4304)
-    alp = np.zeros(os_nb + 1)
-    zet = np.zeros(os_nb + 1)
-    for i in range(2, os_nb + 1):
-        co1 = 4.0 * (2 * i + 1.0) / i / (i - 1.0) / (i + 1.0) / (i + 2.0)
-        co2 = i * (i - 1.0) / ((i + 1.0) * (i + 2.0))
-        co3 = co2 * delta33[i]
-        co2b = co2 * beta22[i]
-        nn = i // 2
-        mm = (i - 1) // 2
-        som1 = som2 = som3 = som4 = 0.0
-        for j in range(1, nn + 1):
-            x2 = (i - 1.0) ** 2 - 3.0 * (2 * j - 1.0) * (i - j)
-            som1 += x2 * beta22[i - 2 * j]
-            som2 += x2 * delta33[i - 2 * j]
-        for j in range(0, mm + 1):
-            x2 = (i - 1.0) ** 2 - 3.0 * j * (2 * i - 2 * j - 1.0)
-            som3 += x2 * beta22[i - 2 * j - 1]
-            som4 += x2 * delta33[i - 2 * j - 1]
-        zet[i] = co3 - co1 * (som2 - som3)
-        alp[i] = co2b - co1 * (som1 - som4)
+    alp, zet = alpha_zeta_from(beta22, delta33)
 
     z1 = beta11[0]
     piz = phase.single_scattering_albedo
