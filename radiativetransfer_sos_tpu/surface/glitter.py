@@ -7,6 +7,10 @@ azimuths and refines each Fourier coefficient dyadically with a convergence
 test.  Here every step is vectorized over the full (N x N) pair grid with
 fixed-iteration masked equivalents of the adaptive loops (identical
 iterates, frozen at the reference's exit conditions).
+
+The dyadic scheme is shared with the Maignan BPDF (``SOS_GSF_MAIGNAN``,
+``src/SOS_SURFACE_BPDF.F:1305`` uses the identical algorithm with a
+different G): ``fourier_dyadic`` takes the G evaluator as a callable.
 """
 
 from __future__ import annotations
@@ -25,25 +29,26 @@ def _calc_g(cs12, c12, s12, sig, phi):
     return x * x * np.exp(-(x - 1.0) / sig)
 
 
-def gsf_fourier(mu_pos: np.ndarray, sig: float, os_nm: int,
-                n_bisect: int = 200):
-    """Fourier coefficients E[a, b, n] of G over the pair grid.
+def fourier_dyadic(g_fn, os_nm: int, n_bisect: int = 200):
+    """Azimuth Fourier coefficients of a peaked weight function G.
 
-    Returns (e, il) with ``e`` of shape (N, N, os_nm+1), zero above the
-    per-pair useful order ``il`` (the reference's LIM early exit,
-    ``src/SOS_GLITTER.F:666-686``).
+    ``g_fn(phi)`` evaluates G over the pair grid for ``phi`` of shape
+    (), (N, N) or (N, N, K) (broadcast against the grid).  Implements the
+    reference's adaptive-domain + dyadic-refinement scheme
+    (``src/SOS_GLITTER.F:532-687``, ``src/SOS_SURFACE_BPDF.F:1395-1530``):
+
+    * bisection for the azimuth bound PHIB where 1e4*G(PHIB) ~ GMAX;
+    * per-order dyadic refinement of the trapezoid-like estimate with a
+      1e-4 relative test;
+    * per-pair truncation at the first order whose cumulative recomposition
+      matches GMAX to 1e-3.
+
+    Returns (e, il): ``e`` of shape (N, N, os_nm+1) zeroed above the useful
+    order ``il``.
     """
-    n = mu_pos.shape[0]
-    c1 = mu_pos[:, None]
-    c2 = mu_pos[None, :]
-    s1 = np.sqrt(1.0 - c1 * c1)
-    s2 = np.sqrt(1.0 - c2 * c2)
-    c12 = c1 * c2
-    s12 = s1 * s2
-    cs12 = 0.5 * (c1 + c2) ** 2
-
-    gmax = _calc_g(cs12, c12, s12, sig, 0.0)
-    gmin_pi = _calc_g(cs12, c12, s12, sig, np.pi)
+    gmax = np.asarray(g_fn(0.0), dtype=np.float64)
+    gmin_pi = np.asarray(g_fn(np.pi), dtype=np.float64)
+    n = gmax.shape[0]
 
     moderate = cte.PH_TEST * gmin_pi >= gmax
 
@@ -55,7 +60,7 @@ def gsf_fourier(mu_pos: np.ndarray, sig: float, os_nm: int,
     done = moderate.copy()
     for _ in range(n_bisect):
         mid = 0.5 * (phi1 + phi2)
-        g_mid = _calc_g(cs12, c12, s12, sig, mid)
+        g_mid = g_fn(mid)
         x = cte.PH_TEST * g_mid
         hit = np.abs(x - gmax) < 0.01 * gmax
         newly = (~done) & hit
@@ -69,8 +74,7 @@ def gsf_fourier(mu_pos: np.ndarray, sig: float, os_nm: int,
     nu = cte.PH_NU
     q = phib / nu                                   # (N, N)
     i_idx = np.arange(nu + 1)
-    u = _calc_g(cs12[..., None], c12[..., None], s12[..., None], sig,
-                q[..., None] * i_idx)               # (N, N, NU+1)
+    u = g_fn(q[..., None] * i_idx)                  # (N, N, NU+1)
     gmin = np.where(moderate, gmin_pi, u[..., nu])
 
     # Fourier coefficients with dyadic refinement (src/SOS_GLITTER.F:641-664)
@@ -101,6 +105,32 @@ def gsf_fourier(mu_pos: np.ndarray, sig: float, os_nm: int,
     il = np.where(has, first, os_nm)
     mask = np.arange(os_nm + 1)[None, None, :] <= il[..., None]
     return e * mask, il
+
+
+def gsf_fourier(mu_pos: np.ndarray, sig: float, os_nm: int,
+                n_bisect: int = 200):
+    """Fourier coefficients E[a, b, n] of the Cox-Munk G over the pair grid.
+
+    Returns (e, il) with ``e`` of shape (N, N, os_nm+1), zero above the
+    per-pair useful order ``il`` (the reference's LIM early exit,
+    ``src/SOS_GLITTER.F:666-686``).
+    """
+    c1 = mu_pos[:, None]
+    c2 = mu_pos[None, :]
+    s1 = np.sqrt(1.0 - c1 * c1)
+    s2 = np.sqrt(1.0 - c2 * c2)
+    c12 = c1 * c2
+    s12 = s1 * s2
+    cs12 = 0.5 * (c1 + c2) ** 2
+
+    def g(phi):
+        phi = np.asarray(phi, dtype=np.float64)
+        if phi.ndim > 2:
+            return _calc_g(cs12[..., None], c12[..., None], s12[..., None],
+                           sig, phi)
+        return _calc_g(cs12, c12, s12, sig, phi)
+
+    return fourier_dyadic(g, os_nm, n_bisect)
 
 
 def glitter_matrices(mu_pos: np.ndarray, w_pos: np.ndarray, wind: float,

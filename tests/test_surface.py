@@ -155,3 +155,131 @@ def test_solver_glitter_full_vs_oracle():
     res, orc = _run_both_with_surface(rho=0.02, use_rmat=True,
                                       use_fresnel=True, seed=3)
     _compare(res, orc)
+
+
+# ---------------------------------------------------------------------------
+# Roujean BRDF and BPDF models
+# ---------------------------------------------------------------------------
+
+from radiativetransfer_sos_tpu.surface import (bpdf_matrices,  # noqa: E402
+                                               maignan_fourier,
+                                               nadal_fourier,
+                                               rondeaux_fourier,
+                                               roujean_fourier,
+                                               roujean_matrices)
+from radiativetransfer_sos_tpu.surface import brdf as brdf_mod  # noqa: E402
+from tests.oracle import surface_ref  # noqa: E402
+
+K012 = (0.2, 0.05, 0.1)
+
+
+def test_roujean_fourier_vs_oracle():
+    grid = angles.make_radiance_grid(35.0, n_gauss=6)
+    os_nb = 8
+    e, il = roujean_fourier(grid.mu, *K012, os_nb)
+    for a in (0, 2, 5):
+        for b in (1, 4):
+            c1, c2 = grid.mu[a], grid.mu[b]
+            s1, s2 = np.sqrt(1 - c1 ** 2), np.sqrt(1 - c2 ** 2)
+            e_ref, il_ref = surface_ref.fsf_pair(
+                lambda p: surface_ref.roujean_f_scalar(
+                    *K012, c1, s1, c2, s2, np.pi - p),
+                os_nb, 0.001, roujean_writer=True)
+            np.testing.assert_allclose(e[a, b], e_ref, rtol=1e-9, atol=1e-14,
+                                       err_msg=f"pair {a},{b}")
+            assert il[a, b] == il_ref
+
+
+def test_nadal_fourier_vs_oracle():
+    grid = angles.make_radiance_grid(35.0, n_gauss=6)
+    os_nb = 8
+    ind, alpha, beta = 1.5, 0.2249, 8.1
+    e, il = nadal_fourier(grid.mu, ind, alpha, beta, os_nb)
+    for a in (0, 3):
+        for b in (2, 5):
+            c1, c2 = grid.mu[a], grid.mu[b]
+            s1, s2 = np.sqrt(1 - c1 ** 2), np.sqrt(1 - c2 ** 2)
+            e_ref, il_ref = surface_ref.fsf_pair(
+                lambda p: surface_ref.nadal_f_scalar(
+                    ind, alpha, beta, c1, s1, c2, s2, p),
+                os_nb, 0.001, roujean_writer=False)
+            np.testing.assert_allclose(e[a, b], e_ref, rtol=1e-9, atol=1e-14,
+                                       err_msg=f"pair {a},{b}")
+            assert il[a, b] == il_ref
+
+
+def test_roujean_matrices_layout():
+    grid = angles.make_radiance_grid(35.0, n_gauss=6)
+    rmat = roujean_matrices(grid.mu, *K012, os_nb=8)
+    assert rmat.shape == (9, 3, 3, grid.n, grid.n)
+    # only P11 nonzero (src/SOS_ROUJEAN.F:1160-1168)
+    assert np.all(rmat[:, 0, 1:] == 0) and np.all(rmat[:, 1:] == 0)
+    # order-0 term positive and reciprocal-symmetric for a symmetric kernel
+    assert np.all(rmat[0, 0, 0] > 0)
+    np.testing.assert_allclose(rmat[0, 0, 0], rmat[0, 0, 0].T, rtol=1e-6)
+
+
+def test_maignan_fourier_reference_quirk():
+    """Maignan's G peaks at phi=pi (backscatter hotspot), the opposite of
+    the glitter G the dyadic scheme was written for.  In the reference
+    (src/SOS_SURFACE_BPDF.F:1495-1523 == src/SOS_GLITTER.F:641-664) the
+    odd-order initial trapezoid Z = (G(0)-G(pi))/2 is then NEGATIVE, the
+    signed test XT=|Z-Y|/Z < 1e-4 passes immediately, and the unrefined Z
+    is stored; the stop test never converges so IL=OS_NM.  Fidelity
+    requires reproducing exactly that."""
+    grid = angles.make_radiance_grid(35.0, n_gauss=8)
+    coef_c = 4.3
+    os_nm = 16
+    e, il = maignan_fourier(grid.mu, coef_c, os_nm=os_nm)
+    c1, c2 = grid.mu[:, None], grid.mu[None, :]
+    s12 = np.sqrt(1 - c1 ** 2) * np.sqrt(1 - c2 ** 2)
+
+    def g(phi):
+        phi = np.asarray(phi)
+        c12, s12_ = np.broadcast_arrays(c1 * c2, s12)
+        den = 1.0 / c1 + 1.0 / c2
+        if phi.ndim:
+            c12, s12_, den = (x[..., None] for x in (c12, s12_, den))
+        cos_2i = c12 - s12_ * np.cos(phi)
+        tan2 = np.maximum((1 - cos_2i) / (1 + cos_2i), 0.0)
+        return coef_c * np.exp(-np.sqrt(tan2)) / den
+
+    # reference fallback: no pair converges
+    assert np.all(il == os_nm)
+    # odd orders: the unrefined trapezoid (G(0) - G(pi))/2, same for all s
+    z_odd = 0.5 * (g(0.0) - g(np.pi))
+    for s in (1, 3, 7):
+        np.testing.assert_allclose(e[..., s], z_odd, rtol=1e-12)
+    # even orders: genuine refined estimates close to the true coefficients
+    phi = np.pi * np.arange(4097) / 4096
+    gtab = g(phi)
+    for s in (0, 2):
+        direct = np.trapezoid(gtab * np.cos(s * phi), phi, axis=-1) / np.pi
+        np.testing.assert_allclose(e[..., s], direct, rtol=2e-3, atol=1e-5)
+    # symmetric weight -> symmetric coefficients
+    np.testing.assert_allclose(e, e.swapaxes(0, 1), rtol=1e-10, atol=1e-15)
+
+
+def test_rondeaux_weight():
+    grid = angles.make_radiance_grid(35.0, n_gauss=6)
+    e = rondeaux_fourier(grid.mu, os_nm=8)
+    c1, c2 = grid.mu[:, None], grid.mu[None, :]
+    np.testing.assert_allclose(e[..., 0], c1 * c2 / (c1 + c2))
+    assert np.all(e[..., 1:] == 0)
+
+
+def test_bpdf_matrices_all_models():
+    grid = angles.make_radiance_grid(35.0, n_gauss=6)
+    os_nb, os_ns, os_nm = 6, 12, 18
+    kw = dict(k0=K012[0], k1=K012[1], k2=K012[2], alpha=0.2, beta=8.0,
+              coef_c=4.3)
+    rj = roujean_matrices(grid.mu, *K012, os_nb)
+    for model in ("rondeaux", "breon", "nadal", "maignan"):
+        rmat = bpdf_matrices(model, grid.mu, grid.w, 1.5, os_nb, os_ns,
+                             os_nm, **kw)
+        assert rmat.shape == (os_nb + 1, 3, 3, grid.n, grid.n)
+        assert np.all(np.isfinite(rmat))
+        # polarization blocks present (BPDF) on top of the Roujean P11
+        assert np.any(rmat[:, 1, 1] != 0)
+        diff = rmat - rj
+        assert np.any(diff[:, 0, 0] != 0)  # Fresnel-composed part in P11 too
