@@ -1,0 +1,475 @@
+"""End-to-end orchestrator: the SOS_PROC pipeline as one function.
+
+Re-design of ``SOS_PROC`` (``src/SOS_PROC.F:415``).  The reference chains
+property generators through files and runs the CKD exponential product as
+an 8-deep sequential loop of full solver runs, aggregated by streaming
+file rewrites (``SOS_AGGREGATE``, ``src/SOS_AGGREGATE.F:172``).  Here:
+
+* every property is an in-memory array (angles, aerosol expansion,
+  surface Fourier matrices, CKD tau profiles);
+* the CKD term product is ONE batch axis — all per-term tau profiles are
+  built up front, padded to a common layer count, and the jitted solver is
+  ``vmap``-ed over the batch; the AIK aggregation is a weighted
+  contraction, not a file rewrite (C18 -> einsum, SURVEY.md §2);
+* CKD mode 2 collapses the batch before the solve
+  (``src/SOS_PROC.F:3609-3725``).
+
+The heavy compute (Fourier x scattering-order x layer sweep) runs inside
+``solver.solve_fourier`` under jit; everything here is setup-path float64
+NumPy per SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import angles as angles_mod
+from . import constants as cte
+from . import gsf, kernels, profile, recompose, solver
+from .absorption import gas_columns, load_ckd, tau_abs_all_terms
+from .aerosols import (AerosolExpansion, decompose_legendre,
+                       integrate_granulometry, mix_phase_matrices)
+from .config import UNSET, UNSET_I, SosConfig
+from .mie import run_mie_sweep
+from .surface import bpdf_matrices, glitter_matrices, roujean_matrices
+from .surface.fresnel import flat_sea_fresnel
+
+
+# ---------------------------------------------------------------------------
+# Rayleigh optical thickness
+# ---------------------------------------------------------------------------
+
+def rayleigh_mot(wavelength: float, psurf: float) -> float:
+    """Perbos (1982) CNES molecular optical thickness
+    (``src/SOS_PROC.F:3333-3335``)."""
+    wa = wavelength
+    return (psurf / cte.HT_STD_PSURF) * 1.0e-4 * (
+        84.35 / wa ** 4 - 1.225 / wa ** 5 + 1.4 / wa ** 6)
+
+
+# ---------------------------------------------------------------------------
+# Aerosol properties per configuration
+# ---------------------------------------------------------------------------
+
+def _signed_mu(grid):
+    return np.concatenate([-grid.mu[::-1], [0.0], grid.mu])
+
+
+def _phase_matrix_mono(mm, mie_grid, wavelength, at_ref: bool):
+    mr = mm.mr_waref if at_ref and mm.mr_waref != UNSET else mm.mr_wa
+    mi = mm.mi_waref if at_ref and mm.mi_waref != UNSET else mm.mi_wa
+    if mm.sdtype == 1:
+        igranu, v1, v2, v3 = 1, mm.lnd_radius, mm.lnd_var, 0.0
+        alpha_max = 2.0 * np.pi * mm.lnd_radius * np.exp(
+            4.0 * mm.lnd_var ** 2 + np.sqrt(
+                2.0 * mm.lnd_var ** 2 * np.log(1.0 / cte.COEF_NRMAX))) \
+            / wavelength
+        alpha_max = min(alpha_max, cte.ALPHAMAX_WMO_DL)
+    else:
+        igranu, v1, v2, v3 = 2, 0.1, mm.junge_slope, mm.junge_rmax
+        alpha_max = 2.0 * np.pi * mm.junge_rmax / wavelength
+    mie = run_mie_sweep(_signed_mu(mie_grid), mr, mi, cte.MIE_ALPHAMIN,
+                        float(alpha_max))
+    return integrate_granulometry(mie, igranu, v1, v2, v3, wavelength)
+
+
+def _phase_matrix_bimodal(bmd, mie_grid, wavelength, at_ref: bool):
+    def one(rmodal, var, mr, mi):
+        alpha_max = 2.0 * np.pi * rmodal * np.exp(
+            4.0 * var ** 2 + np.sqrt(
+                2.0 * var ** 2 * np.log(1.0 / cte.COEF_NRMAX))) / wavelength
+        alpha_max = min(alpha_max, cte.ALPHAMAX_WMO_DL)
+        mie = run_mie_sweep(_signed_mu(mie_grid), mr, mi, cte.MIE_ALPHAMIN,
+                            float(alpha_max))
+        return integrate_granulometry(mie, 1, rmodal, var, 0.0, wavelength)
+
+    if at_ref:
+        fm = one(bmd.fm_rmodal, bmd.fm_var,
+                 bmd.fm_mr_waref if bmd.fm_mr_waref != UNSET else bmd.fm_mr_wa,
+                 bmd.fm_mi_waref if bmd.fm_mi_waref != UNSET else bmd.fm_mi_wa)
+        cm = one(bmd.cm_rmodal, bmd.cm_var,
+                 bmd.cm_mr_waref if bmd.cm_mr_waref != UNSET else bmd.cm_mr_wa,
+                 bmd.cm_mi_waref if bmd.cm_mi_waref != UNSET else bmd.cm_mi_wa)
+    else:
+        fm = one(bmd.fm_rmodal, bmd.fm_var, bmd.fm_mr_wa, bmd.fm_mi_wa)
+        cm = one(bmd.cm_rmodal, bmd.cm_var, bmd.cm_mr_wa, bmd.cm_mi_wa)
+
+    # volume concentrations -> number fractions: N = Cv / (4/3 pi rm^3
+    # exp(4.5 var^2)) for a log-normal (``src/SOS_AEROSOLS.F:2438-2475``)
+    def n_of_cv(cv, rmodal, var):
+        return cv / (4.0 / 3.0 * np.pi * rmodal ** 3
+                     * np.exp(4.5 * var * var))
+
+    if bmd.mode_param == 1:
+        nf = np.array([n_of_cv(bmd.cv_coarse, bmd.cm_rmodal, bmd.cm_var),
+                       n_of_cv(bmd.cv_fine, bmd.fm_rmodal, bmd.fm_var)])
+    else:
+        # tau-ratio parameterization at waref: solve the number fractions
+        # that give AOTfine/AOTtot = rtau (``src/SOS_AEROSOLS.F:2560-2640``)
+        r = bmd.rtau_fine_waref
+        nf = np.array([(1.0 - r) / cm.sigma_ext, r / fm.sigma_ext])
+    return mix_phase_matrices([cm, fm], nf)
+
+
+def aerosol_properties(cfg: SosConfig, mie_grid):
+    """(AerosolExpansion, TA at the simulation wavelength).
+
+    Runs the property generator at the simulation wavelength, and a second
+    time at the AOT reference wavelength when it differs — the simulated
+    AOT is rescaled by the extinction ratio
+    (``src/SOS_PROC.F:3028-3063``).
+    """
+    aer = cfg.aerosols
+    os_nb, _, _ = angles_mod.expansion_orders(cfg.angles.nbmu_mie,
+                                              cfg.angles.nbmu_lum)
+    if aer.aot_ref <= 0.0 or aer.model == UNSET_I:
+        z = np.zeros(os_nb + 1)
+        exp = AerosolExpansion(alpha=z, beta=z, gamma=z, zeta=z,
+                               coef_tronca=0.0, piz=1.0, piz_tronc=1.0,
+                               sigma_ext=0.0, sigma_sca=0.0)
+        return exp, 0.0
+
+    if aer.model == 0:
+        pm_sim = _phase_matrix_mono(aer.mm, mie_grid, cfg.wavelength, False)
+        pm_ref_fn = lambda: _phase_matrix_mono(aer.mm, mie_grid,
+                                               aer.waref, True)
+    elif aer.model == 3:
+        pm_sim = _phase_matrix_bimodal(aer.bmd, mie_grid, cfg.wavelength,
+                                       False)
+        pm_ref_fn = lambda: _phase_matrix_bimodal(aer.bmd, mie_grid,
+                                                  aer.waref, True)
+    else:
+        raise NotImplementedError(
+            f"aerosol model {aer.model} not implemented yet "
+            "(0 mono-modal and 3 bimodal supported)")
+
+    if aer.waref != UNSET and abs(aer.waref - cfg.wavelength) > 1.0e-9:
+        pm_ref = pm_ref_fn()
+        ta = aer.aot_ref * pm_sim.sigma_ext / pm_ref.sigma_ext
+    else:
+        ta = aer.aot_ref
+
+    expn = decompose_legendre(pm_sim, mie_grid.mu, mie_grid.w, os_nb,
+                              aer.tronca)
+    return expn, float(ta)
+
+
+# ---------------------------------------------------------------------------
+# Surface matrices per ISURF
+# ---------------------------------------------------------------------------
+
+def surface_matrices(cfg: SosConfig, grid) -> Optional[np.ndarray]:
+    """The Fourier reflection-matrix product of ``SOS_SURFACE``
+    (``src/SOS_SURFACE.F:341``); None when ISURF has no matrix."""
+    s = cfg.surface
+    os_nb, os_ns, os_nm = angles_mod.expansion_orders(cfg.angles.nbmu_mie,
+                                                      cfg.angles.nbmu_lum)
+    if s.type == 1:
+        return glitter_matrices(grid.mu, grid.w, s.wind, s.ind,
+                                os_nb, os_ns, os_nm)
+    if s.type == 3:
+        return roujean_matrices(grid.mu, s.k0, s.k1, s.k2, os_nb)
+    if s.type in (4, 5, 6, 7):
+        model = {4: "rondeaux", 5: "breon", 6: "nadal", 7: "maignan"}[s.type]
+        return bpdf_matrices(model, grid.mu, grid.w, s.ind, os_nb, os_ns,
+                             os_nm, k0=s.k0, k1=s.k1, k2=s.k2,
+                             alpha=s.alpha_nadal, beta=s.beta_nadal,
+                             coef_c=s.coef_c_maignan)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Truncation adjustment of a discretized profile (src/SOS.F:511-543)
+# ---------------------------------------------------------------------------
+
+def truncation_adjust(h, pcaer, pcmol, piz, piz_tronc, coef_tronca):
+    """tau-profile rescale for the truncated phase function + conversion of
+    the aerosol extinction fraction into a scattering fraction."""
+    h = np.asarray(h, dtype=np.float64).copy()
+    xdel = np.asarray(pcaer, dtype=np.float64).copy()
+    ydel = np.asarray(pcmol, dtype=np.float64).copy()
+    a = coef_tronca
+    if a != 0.0:
+        dh = np.diff(h)
+        va = xdel[1:] * dh
+        vatr = va * (1.0 - piz * 0.5 * a)
+        vr = ydel[1:] * dh
+        vg = (1.0 - xdel[1:] - ydel[1:]) * dh
+        tot = vatr + vr + vg
+        htr = np.concatenate([[h[0]], h[0] + np.cumsum(tot)])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xdel = np.concatenate([[xdel[0]],
+                                   np.where(tot > 0, vatr / tot, 0.0)])
+            ydel = np.concatenate([[ydel[0]],
+                                   np.where(tot > 0, vr / tot, 0.0)])
+        h = htr
+    xdel = xdel * piz_tronc
+    return h, xdel, ydel
+
+
+# ---------------------------------------------------------------------------
+# Results container + the pipeline
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SosResults:
+    """Aggregated outputs of one run (the SOS_PROC intent(out) set,
+    ``binding/run_sos.py:636-695``)."""
+    grid: angles_mod.RadianceGrid
+    records_up: np.ndarray       # (S, 3, D) aggregated Fourier Stokes, ZOUT up
+    records_down: np.ndarray     # same field (signed axis holds both)
+    ttot_tronc: float            # truncated total optical depth
+    ttot_vrai: float             # true total optical depth
+    tauout: float                # optical depth of the output level
+    emoins: float                # downward diffuse flux
+    eplus: float                 # upward diffuse flux
+    coef_tronca: float
+    n_ckd_terms: int
+    # view tables (filled by trphi_option)
+    phi: Optional[np.ndarray] = None
+    theta: Optional[np.ndarray] = None
+    up: Optional[dict] = None
+    down: Optional[dict] = None
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("opt",))
+def _solve_vmapped(inp_batch: solver.SolveInputs, opt: solver.SolveOptions):
+    axes = solver.SolveInputs(
+        h=0, xdel=0, ydel=0, k_aer=None, k_mol=None, mu_pos=None,
+        w_pos=None, tab=None, n0=None,
+        surface=solver.SurfaceInputs(rho=None, rmat=None, f11=None,
+                                     f12=None, f33=None, ind_surf=None))
+    return jax.vmap(solver.solve_fourier, in_axes=(axes, None))(
+        inp_batch, opt)
+
+
+def _solve_batch(inp_batch: solver.SolveInputs, opt: solver.SolveOptions,
+                 n_terms: int):
+    """vmap the jitted solver over the CKD-term batch axis (leaves h/xdel/
+    ydel batched, everything else broadcast)."""
+    if n_terms == 1:
+        single = inp_batch._replace(h=inp_batch.h[0], xdel=inp_batch.xdel[0],
+                                    ydel=inp_batch.ydel[0])
+        res = solver.solve_fourier_jit(single, opt)
+        return jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], res)
+    return _solve_vmapped(inp_batch, opt)
+
+
+def run(cfg: SosConfig) -> SosResults:
+    """The full pipeline: properties -> batched CKD solve -> aggregation."""
+    cfg.validate()
+
+    # --- angle grids (C4)
+    lum = angles_mod.make_radiance_grid(cfg.angles.thetas_deg,
+                                        cfg.angles.nbmu_lum,
+                                        cfg.angles.user_rad_deg)
+    mie_grid = angles_mod.make_mie_grid(cfg.angles.nbmu_mie,
+                                        cfg.angles.user_mie_deg)
+    os_nb, os_ns, os_nm = angles_mod.expansion_orders(cfg.angles.nbmu_mie,
+                                                      cfg.angles.nbmu_lum)
+
+    # --- molecular optical thickness
+    tr = cfg.profile.mot
+    if tr == UNSET:
+        tr = rayleigh_mot(cfg.wavelength, cfg.profile.psurf)
+
+    # --- aerosols (C5/C6)
+    aer_exp, ta = aerosol_properties(cfg, mie_grid)
+
+    # --- surface (C7-C11)
+    rmat = surface_matrices(cfg, lum)
+    isurf = cfg.surface.type
+    igli = isurf == 1
+    ifresnel = isurf == 2
+    imat_surf = rmat is not None
+
+    # --- absorption (C12-C14): tau_abs per CKD term
+    use_abs = (cfg.absorption.absprofil != 7) and (cfg.profile.type == 1)
+    if use_abs:
+        nu = 1.0e4 / cfg.wavelength
+        tables = load_ckd(nu, cfg.absorption.resolution)
+        lamb = tables.band_index(nu)
+        o3 = cfg.absorption.o3
+        cols = gas_columns(cfg.absorption.absprofil,
+                           user_profile=cfg.absorption.user_profile,
+                           psurf=cfg.profile.psurf,
+                           h2o=cfg.absorption.h2o,
+                           o3=o3 / 1000.0 if o3 != UNSET else UNSET,
+                           co2=cfg.absorption.co2, ch4=cfg.absorption.ch4)
+        tau_terms, aik = tau_abs_all_terms(tables, lamb, cols)
+        if cfg.absorption.mode_ckd == 2:
+            trs = (aik[:, None] * np.exp(-tau_terms)).sum(axis=0)
+            tau_terms = np.maximum(-np.log(trs), 0.0)[None, :]
+            aik = np.ones(1)
+        altabs = cols.alt_desc
+    else:
+        tau_terms = np.zeros((1, cte.ABS_NBLEV))
+        aik = np.ones(1)
+        altabs = None
+
+    n_terms = tau_terms.shape[0]
+
+    # --- per-term profiles (C15) + truncation adjustment (C16)
+    profs = []
+    for k in range(n_terms):
+        if cfg.profile.type == 2:
+            p = profile.slab_profile(tr, cfg.profile.hr, ta,
+                                     cfg.profile.zmin, cfg.profile.zmax)
+        elif use_abs and tau_terms[k, -1] > 0.0:
+            p = profile.exp_profile_with_gas(tr, cfg.profile.hr, ta,
+                                             cfg.profile.ha, altabs,
+                                             tau_terms[k])
+        else:
+            p = profile.exp_profile_no_gas(tr, cfg.profile.hr, ta,
+                                           cfg.profile.ha)
+        profs.append(p)
+    nt_max = max(p.nt for p in profs)
+    ttot_vrai_terms = np.array([p.h[-1] for p in profs])
+
+    hs, xds, yds, zprofs = [], [], [], []
+    for p in profs:
+        pp = p.padded(nt_max)
+        h, xd, yd = truncation_adjust(pp.h, pp.pcaer, pp.pcmol,
+                                      aer_exp.piz, aer_exp.piz_tronc,
+                                      aer_exp.coef_tronca)
+        hs.append(h)
+        xds.append(xd)
+        yds.append(yd)
+        zprofs.append(pp.zprof)
+    hs = np.stack(hs)
+    xds = np.stack(xds)
+    yds = np.stack(yds)
+    zprofs = np.stack(zprofs)
+    ttot_tronc_terms = hs[:, -1]
+
+    # --- Fourier order cap: pure Rayleigh cuts at IS <= 2 (src/SOS.F:546-550)
+    pure_rayleigh = bool(np.all(xds == 0.0))
+    iborm = 2 if pure_rayleigh else os_nb
+
+    # --- kernels (C17 inputs)
+    psl, rsl, tsl = gsf.gsf_basis(lum.mu, lum.mus, os_nb, iborm + 1)
+    psl, rsl, tsl = map(jnp.asarray, (psl, rsl, tsl))
+    k_aer = kernels.aerosol_kernel(psl, rsl, tsl, aer_exp.alpha,
+                                   aer_exp.beta, aer_exp.gamma, aer_exp.zeta)
+    k_mol = kernels.molecular_kernel(psl, rsl, tsl, cfg.mdf, cfg.ipolar)
+
+    if ifresnel or igli:
+        f11, f12, f33 = flat_sea_fresnel(lum.mu, lum.mus, cfg.surface.ind,
+                                         cfg.ipolar)
+    else:
+        f11 = f12 = f33 = np.zeros(lum.n + 1)
+
+    surf = solver.SurfaceInputs(
+        rho=jnp.asarray(float(cfg.surface.alb)),
+        rmat=None if rmat is None else jnp.asarray(rmat[: iborm + 1]),
+        f11=jnp.asarray(f11), f12=jnp.asarray(f12), f33=jnp.asarray(f33),
+        ind_surf=jnp.asarray(float(cfg.surface.ind)
+                             if cfg.surface.ind != UNSET else 1.34))
+    opt = solver.SolveOptions(igmax=cfg.igmax, imat_surf=imat_surf,
+                              ifresnel=ifresnel, ipolar=cfg.ipolar)
+
+    inp = solver.SolveInputs(
+        h=jnp.asarray(hs), xdel=jnp.asarray(xds), ydel=jnp.asarray(yds),
+        k_aer=k_aer, k_mol=k_mol, mu_pos=jnp.asarray(lum.mu),
+        w_pos=jnp.asarray(lum.w), tab=jnp.asarray(lum.mus), n0=lum.imus,
+        surface=surf)
+    res = _solve_batch(inp, opt, n_terms)
+
+    # --- aggregation (C18): AIK-weighted contraction over the batch axis
+    i3z = np.asarray(res.i3z)               # (terms, S, 3, D)
+    mask = np.stack([np.asarray(solver.fourier_stop_mask(
+        np.asarray(res.i3bnd)[k])) for k in range(n_terms)])
+    recs = np.einsum("t,ts,tscd->scd", aik, mask.astype(np.float64), i3z)
+    emoins = float(aik @ np.asarray(res.emoins).reshape(n_terms))
+    eplus = float(aik @ np.asarray(res.eplus).reshape(n_terms))
+    # optical depths aggregate in transmission space
+    # (``src/SOS_AGGREGATE.F:466-488``)
+    ttot_tronc = -np.log(np.sum(aik * np.exp(-ttot_tronc_terms)))
+    ttot_vrai = -np.log(np.sum(aik * np.exp(-ttot_vrai_terms)))
+    tauout = 0.0 if cfg.view.zout_km == UNSET else float(ttot_tronc)
+
+    return SosResults(grid=lum, records_up=recs, records_down=recs,
+                      ttot_tronc=float(ttot_tronc),
+                      ttot_vrai=float(ttot_vrai), tauout=tauout,
+                      emoins=emoins, eplus=eplus,
+                      coef_tronca=aer_exp.coef_tronca, n_ckd_terms=n_terms)
+
+
+# ---------------------------------------------------------------------------
+# View recomposition (C19) on aggregated records
+# ---------------------------------------------------------------------------
+
+def trphi_option(cfg: SosConfig, res: SosResults) -> SosResults:
+    """Fill the (phi x theta) output tables like ``SOS_TRPHI_OPTION``
+    (``src/SOS_TRPHI.F:285``): view 1 = principal plane (rows phi+180,
+    phi), view 2 = polar diagram (rows phi=0..360 step dphi)."""
+    grid = res.grid
+    s = cfg.surface
+    terms = recompose.DirectTerms(
+        igli=s.type == 1, ifresnel=s.type == 2, iroujean=s.type >= 3,
+        irondeaux=s.type == 4, ibreon=s.type == 5, inadal=s.type == 6,
+        imaignan=s.type == 7,
+        wind=s.wind if s.wind != UNSET else 0.0,
+        ind_surf=s.ind if s.ind != UNSET else 1.34,
+        k0=s.k0 if s.k0 != UNSET else 0.0,
+        k1=s.k1 if s.k1 != UNSET else 0.0,
+        k2=s.k2 if s.k2 != UNSET else 0.0,
+        alpha_nadal=s.alpha_nadal if s.alpha_nadal != UNSET else 0.0,
+        beta_nadal=s.beta_nadal if s.beta_nadal != UNSET else 0.0,
+        coef_c_maignan=s.coef_c_maignan if s.coef_c_maignan != UNSET
+        else 0.0)
+
+    if cfg.view.itrphi == 1:
+        phis_deg = np.array([cfg.view.phi_deg + 180.0, cfg.view.phi_deg])
+    else:
+        phis_deg = np.arange(0.0, 360.0 + 1e-9, cfg.view.dphi_deg)
+
+    n = grid.n
+    nphi = phis_deg.shape[0]
+    out = {k: np.zeros((nphi, n)) for k in
+           ("i", "q", "u", "pol_ang", "pol_rate", "l_pol", "sca")}
+    dn = {k: np.zeros((nphi, n)) for k in out}
+
+    for ip, phid in enumerate(phis_deg):
+        phi = np.radians(phid)
+        f = np.asarray(recompose.recompose(jnp.asarray(res.records_up), phi))
+        xit, xqt, xut = f[0], f[1], f[2]
+        xit, xqt, xut = recompose.add_direct_terms(
+            xit, xqt, xut, grid.mu, grid.imus, grid.mus, res.ttot_tronc,
+            res.tauout, phi, terms, cfg.ipolar)
+        ups = slice(n + 1, 2 * n + 1)
+        # downward directions of the signed axis are stored mirrored
+        for tabs, sl, flip in ((out, ups, False), (dn, slice(0, n), True)):
+            xi = xit[sl][::-1] if flip else xit[sl]
+            xq = xqt[sl][::-1] if flip else xqt[sl]
+            xu = xut[sl][::-1] if flip else xut[sl]
+            ang, rate, lpol = recompose.polar_params(xi, xq, xu)
+            tabs["i"][ip] = xi
+            tabs["q"][ip] = xq
+            tabs["u"][ip] = xu
+            tabs["pol_ang"][ip] = ang
+            tabs["pol_rate"][ip] = rate
+            tabs["l_pol"][ip] = lpol
+        sca = recompose.scattering_angles(
+            np.concatenate([-grid.mu, grid.mu]), grid.mus, phi)
+        out["sca"][ip] = sca[n:]
+        dn["sca"][ip] = sca[:n]
+
+    res.phi = phis_deg
+    res.theta = grid.theta_deg
+    res.up = out
+    res.down = dn
+    return res
+
+
+def sos_run(cfg: SosConfig) -> SosResults:
+    """run + view recomposition in one call (the SOS_PROC surface)."""
+    return trphi_option(cfg, run(cfg))

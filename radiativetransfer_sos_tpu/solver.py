@@ -134,7 +134,10 @@ def sweep_up(h, mu_pos, src_up, bc_ground):
     dtau = (h[1:] - h[:-1])[:, None, None]              # (NT, 1, 1)
     att = jnp.exp(-dtau / mu_pos[None, None, :])        # (NT, 1, N) -> bcast
     b_lo = src_up[:-1]                                  # level i   (lower tau)
-    a_lin = (src_up[1:] - b_lo) / dtau
+    # zero-thickness padding layers are identity steps (a=1, b=0)
+    a_lin = jnp.where(dtau > 0.0,
+                      (src_up[1:] - b_lo) / jnp.where(dtau > 0.0, dtau, 1.0),
+                      0.0)
     step_b = (1.0 - att) * (a_lin * mu_pos + b_lo) - a_lin * att * dtau
     step_a = jnp.broadcast_to(att, step_b.shape)
 
@@ -157,7 +160,9 @@ def sweep_down(h, mu_pos, src_dn):
     dtau = (h[1:] - h[:-1])[:, None, None]
     att = jnp.exp(-dtau / mu_pos[None, None, :])        # exp(dtau/(-mu))
     b_hi = src_dn[1:]                                   # level i (higher tau)
-    a_lin = (b_hi - src_dn[:-1]) / dtau
+    a_lin = jnp.where(dtau > 0.0,
+                      (b_hi - src_dn[:-1]) / jnp.where(dtau > 0.0, dtau, 1.0),
+                      0.0)
     step_b = (1.0 - att) * (a_lin * (-mu_pos) + b_hi) + a_lin * att * dtau
     step_a = jnp.broadcast_to(att, step_b.shape)
 

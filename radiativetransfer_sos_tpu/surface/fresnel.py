@@ -32,6 +32,29 @@ def fresnel_elements(mu_signed: np.ndarray, ind: float):
     return r11, r12, r33
 
 
+def flat_sea_fresnel(mu_pos: np.ndarray, mus: float, ind: float,
+                     ipolar: bool = True):
+    """Flat-sea Fresnel reflection vectors for the solver's IFRESNEL path.
+
+    Returns (f11, f12, f33), each (N+1,) with slot 0 the solar incidence
+    (mu = -mus) and slot j the Gauss angle j
+    (``SOS_MAT_FRESNEL_PLAN_REFL``, ``src/SOS_OS.F:1719``).
+    """
+    mu = np.concatenate([[-mus], mu_pos])
+    ind2 = ind * ind
+    x = np.sqrt(ind2 - 1.0 + mu * mu)
+    rl = (ind2 * mu - x) / (ind2 * mu + x)
+    rr = (mu - x) / (mu + x)
+    f11 = 0.5 * (rl * rl + rr * rr)
+    if ipolar:
+        f12 = 0.5 * (rl * rl - rr * rr)
+        f33 = rl * rr
+    else:
+        f12 = np.zeros_like(f11)
+        f33 = np.zeros_like(f11)
+    return f11, f12, f33
+
+
 def fresnel_expansion(mu_pos: np.ndarray, w_pos: np.ndarray, ind: float,
                       os_ns: int):
     """(alpha, beta, gamma, zeta) expansions of the Fresnel matrix.

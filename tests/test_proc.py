@@ -1,0 +1,121 @@
+"""End-to-end orchestrator tests (SOS_PROC pipeline)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from radiativetransfer_sos_tpu import proc
+from radiativetransfer_sos_tpu.config import (AbsConfig, AngleConfig,
+                                              AerosolConfig,
+                                              MonoModalAerosol,
+                                              ProfileConfig, SosConfig,
+                                              SurfaceConfig, ViewConfig)
+
+HAVE_DATA = os.path.isdir("/root/reference/fic/COEFF_CKD")
+needs_data = pytest.mark.skipif(not HAVE_DATA, reason="no CKD data root")
+
+
+def _rayleigh_cfg(**kw):
+    return SosConfig(
+        wavelength=0.550,
+        angles=AngleConfig(nbmu_lum=10, thetas_deg=35.0),
+        surface=SurfaceConfig(type=0, alb=kw.pop("alb", 0.0)),
+        profile=ProfileConfig(hr=8.0, ha=2.0),
+        absorption=AbsConfig(absprofil=7),
+        igmax=40, **kw)
+
+
+def test_rayleigh_flux_conservation():
+    """Conservative atmosphere + black surface: Edown + Eup + direct = 1."""
+    res = proc.run(_rayleigh_cfg())
+    mus = abs(res.grid.mus)
+    direct = np.exp(-res.ttot_vrai / mus)   # fluxes are /mus-normalized
+    total = res.emoins + res.eplus + direct
+    # the reference conserves to the convergence threshold level
+    np.testing.assert_allclose(total, 1.0, rtol=2e-3)
+
+
+def test_rayleigh_albedo_increases_radiance():
+    r0 = proc.sos_run(_rayleigh_cfg(alb=0.0))
+    r1 = proc.sos_run(_rayleigh_cfg(alb=0.3))
+    assert np.all(r1.up["i"] > r0.up["i"])
+    # down field at ground barely changes at low orders but never decreases
+    assert np.all(r1.down["i"] >= r0.down["i"] - 1e-12)
+
+
+def test_principal_plane_symmetry():
+    """At phi=0/180 the U component vanishes in the principal plane."""
+    res = proc.sos_run(_rayleigh_cfg())
+    np.testing.assert_allclose(res.up["u"], 0.0, atol=1e-10)
+
+
+def test_polar_view_tables():
+    cfg = _rayleigh_cfg()
+    cfg.view = ViewConfig(itrphi=2, dphi_deg=90)
+    res = proc.sos_run(cfg)
+    assert res.phi.tolist() == [0.0, 90.0, 180.0, 270.0, 360.0]
+    # phi=0 and phi=360 identical; I symmetric about the principal plane
+    np.testing.assert_allclose(res.up["i"][0], res.up["i"][-1], rtol=1e-12)
+    np.testing.assert_allclose(res.up["i"][1], res.up["i"][3], rtol=1e-10)
+    np.testing.assert_allclose(res.up["u"][1], -res.up["u"][3], rtol=1e-8,
+                               atol=1e-14)
+
+
+def _aerosol_cfg(wavelength=0.675, mode_ckd=2, absprofil=1, igmax=30):
+    return SosConfig(
+        wavelength=wavelength,
+        angles=AngleConfig(nbmu_lum=10, nbmu_mie=12, thetas_deg=35.0),
+        aerosols=AerosolConfig(
+            aot_ref=0.3, waref=0.550, model=0,
+            mm=MonoModalAerosol(sdtype=1, lnd_radius=0.2, lnd_var=0.4,
+                                mr_wa=1.44, mi_wa=-0.0,
+                                mr_waref=1.44, mi_waref=-0.0)),
+        surface=SurfaceConfig(type=1, alb=0.0, ind=1.34, wind=2.0),
+        profile=ProfileConfig(hr=8.0, ha=2.0),
+        absorption=AbsConfig(absprofil=absprofil, mode_ckd=mode_ckd,
+                             resolution=10),
+        igmax=igmax)
+
+
+@needs_data
+def test_o2_a_band_ckd_modes_agree():
+    """765 nm: 5 O2 exponentials; mode 1 batches them, mode 2 averages the
+    transmissions first — the radiances agree to the CKD approximation
+    level (a few percent)."""
+    cfg1 = _aerosol_cfg(wavelength=0.765, mode_ckd=1)
+    res1 = proc.sos_run(cfg1)
+    assert res1.n_ckd_terms >= 5
+    cfg2 = _aerosol_cfg(wavelength=0.765, mode_ckd=2)
+    res2 = proc.sos_run(cfg2)
+    assert res2.n_ckd_terms == 1
+    # transmission-averaging (mode 2) under-estimates the radiance of the
+    # radiance-average (mode 1): I(tau) is convex in tau (Jensen), and the
+    # two modes differ substantially in a strong band — that IS the
+    # documented approximation (user manual: mode 1 "more time consuming")
+    assert np.all(res1.up["i"] >= res2.up["i"] - 1e-12)
+    # the aggregated direct transmissions agree exactly by construction
+    np.testing.assert_allclose(res1.ttot_vrai, res2.ttot_vrai, rtol=1e-10)
+    # absorption band darkens vs the no-absorption run
+    cfg0 = _aerosol_cfg(wavelength=0.765, absprofil=7)
+    res0 = proc.sos_run(cfg0)
+    assert np.all(res1.up["i"] < res0.up["i"])
+    assert res1.ttot_vrai > res0.ttot_vrai
+
+
+@needs_data
+def test_aggregated_depths_monotone():
+    res = proc.run(_aerosol_cfg(wavelength=0.765, mode_ckd=1))
+    assert res.ttot_tronc <= res.ttot_vrai + 1e-12
+    assert res.ttot_vrai > 0.3        # rayleigh + aot + O2 absorption
+
+
+def test_glitter_direct_peak():
+    """The glitter analytic sun peak appears in the specular half-plane."""
+    cfg = _aerosol_cfg(absprofil=7)
+    res = proc.sos_run(cfg)
+    i_spec = res.up["i"][1]        # phi = 0 (specular) half plane
+    i_anti = res.up["i"][0]        # phi = 180
+    # near the specular direction (theta ~ thetas) the glint dominates
+    j = np.argmin(np.abs(res.theta - 35.0))
+    assert i_spec[j] > 2.0 * i_anti[j]
