@@ -87,6 +87,7 @@ class AerosolConfig:
     sf_rh: float = UNSET             # -AER.SF.RH (%)
     external_file: str | None = None  # -AER.ExtData
     mixture_file: str | None = None   # IMOD=5 user mixture
+    alpha_cap: float | None = None    # testing override: bound Mie sweeps
 
 
 @dataclass
@@ -181,4 +182,8 @@ class SosConfig:
         if self.profile.type == 2 and (self.profile.zmin == UNSET
                                        or self.profile.zmax == UNSET):
             raise ValueError("slab profile requires zmin/zmax")
+        if (self.profile.type == 1 and self.aerosols.aot_ref > 0.0
+                and self.profile.ha == UNSET):
+            raise ValueError("exponential aerosol profile requires "
+                             "-AP.AerHS.HA (scale height)")
         return self

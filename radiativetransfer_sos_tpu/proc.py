@@ -138,15 +138,42 @@ def aerosol_properties(cfg: SosConfig, mie_grid):
         pm_sim = _phase_matrix_mono(aer.mm, mie_grid, cfg.wavelength, False)
         pm_ref_fn = lambda: _phase_matrix_mono(aer.mm, mie_grid,
                                                aer.waref, True)
+    elif aer.model == 1:
+        from .aerosol_models import wmo_phase_matrix
+        user_v = None
+        if aer.wmo_model == 4:
+            user_v = np.array([aer.wmo_dl, aer.wmo_ws, aer.wmo_oc,
+                               aer.wmo_so])
+        cap = getattr(aer, "alpha_cap", None)
+        pm_sim = wmo_phase_matrix(_signed_mu(mie_grid), cfg.wavelength,
+                                  aer.wmo_model, user_v, alpha_cap=cap)
+        pm_ref_fn = lambda: wmo_phase_matrix(_signed_mu(mie_grid), aer.waref,
+                                             aer.wmo_model, user_v,
+                                             alpha_cap=cap)
+    elif aer.model == 2:
+        from .aerosol_models import sf_phase_matrix
+        cap = getattr(aer, "alpha_cap", None)
+        pm_sim = sf_phase_matrix(_signed_mu(mie_grid), cfg.wavelength,
+                                 aer.sf_model, aer.sf_rh, alpha_cap=cap)
+        pm_ref_fn = lambda: sf_phase_matrix(_signed_mu(mie_grid), aer.waref,
+                                            aer.sf_model, aer.sf_rh,
+                                            alpha_cap=cap)
     elif aer.model == 3:
         pm_sim = _phase_matrix_bimodal(aer.bmd, mie_grid, cfg.wavelength,
                                        False)
         pm_ref_fn = lambda: _phase_matrix_bimodal(aer.bmd, mie_grid,
                                                   aer.waref, True)
+    elif aer.model == 4:
+        from .external_aerosols import external_phase_matrix
+        if abs(aer.waref - cfg.wavelength) > 1.0e-9 and aer.waref != UNSET:
+            raise ValueError("external phase functions require "
+                             "waref == wavelength (src/SOS_ABS_MAIN.F:677)")
+        pm_sim = external_phase_matrix(aer.external_file, mie_grid)
+        pm_ref_fn = lambda: pm_sim
     else:
         raise NotImplementedError(
-            f"aerosol model {aer.model} not implemented yet "
-            "(0 mono-modal and 3 bimodal supported)")
+            f"aerosol model {aer.model} not implemented "
+            "(0 mono, 1 WMO, 2 S&F, 3 bimodal, 4 external supported)")
 
     if aer.waref != UNSET and abs(aer.waref - cfg.wavelength) > 1.0e-9:
         pm_ref = pm_ref_fn()
@@ -230,11 +257,53 @@ class SosResults:
     eplus: float                 # upward diffuse flux
     coef_tronca: float
     n_ckd_terms: int
+    thetas_deg: float = 0.0
+    # diffuse transmittances of the equivalent (truncated) atmosphere
+    # (filled when cfg.compute_transmissions; ``src/SOS.F:605-637``)
+    tdifmus: Optional[float] = None       # TOA -> ground, solar incidence
+    tdifmug: Optional[np.ndarray] = None  # (N,) ground -> TOA per Gauss angle
     # view tables (filled by trphi_option)
     phi: Optional[np.ndarray] = None
     theta: Optional[np.ndarray] = None
     up: Optional[dict] = None
     down: Optional[dict] = None
+
+    # -- derived flux outputs (``src/SOS_PROC.F:3828-3837``) ---------------
+    @property
+    def _mus(self) -> float:
+        return float(np.cos(np.radians(self.thetas_deg)))
+
+    @property
+    def flux_dir_down(self) -> float:
+        """Direct downward transmission for the TRUE optical depth."""
+        return float(np.exp(-self.ttot_vrai / self._mus))
+
+    @property
+    def flux_diff_down(self) -> float:
+        """EMOINS + Tdir_tronc - Tdir_vrai."""
+        return float(self.emoins + np.exp(-self.ttot_tronc / self._mus)
+                     - np.exp(-self.ttot_vrai / self._mus))
+
+    @property
+    def flux_tot_down(self) -> float:
+        return float(self.emoins + np.exp(-self.ttot_tronc / self._mus))
+
+    @property
+    def flux_diff_up(self) -> float:
+        return float(self.eplus)
+
+    def trans_down(self) -> float:
+        """Total diffuse transmittance TOA -> surface at solar incidence:
+        td = TDIFMUS + Tdir_tronc - Tdir_vrai (``src/SOS_PROC.F:3791-3803``)."""
+        return float(self.tdifmus + np.exp(-self.ttot_tronc / self._mus)
+                     - np.exp(-self.ttot_vrai / self._mus))
+
+    def trans_up(self) -> np.ndarray:
+        """Diffuse transmittance surface -> TOA per Gauss angle (reciprocity,
+        ``src/SOS_PROC.F:3808-3816``)."""
+        mu = self.grid.mu
+        return (self.tdifmug + np.exp(-self.ttot_tronc / mu)
+                - np.exp(-self.ttot_vrai / mu))
 
 
 from functools import partial as _partial
@@ -261,6 +330,53 @@ def _solve_batch(inp_batch: solver.SolveInputs, opt: solver.SolveOptions,
         res = solver.solve_fourier_jit(single, opt)
         return jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], res)
     return _solve_vmapped(inp_batch, opt)
+
+
+@_partial(jax.jit, static_argnames=("opt",))
+def _solve_trans_batch(inp_batch: solver.SolveInputs,
+                       opt: solver.SolveOptions):
+    """Black-surface IS=0 solves batched over (CKD term x incidence).
+
+    The reference runs SOS_OS once per incidence direction per CKD term
+    with RHO=0, no surface matrices, IBORM=0 (``src/SOS.F:605-637``); the
+    diffuse transmittance is the EMOINS of each run.  Here the incidence
+    direction is just another vmap axis (the profile varies along it too,
+    pre-broadcast by the caller).
+    """
+    axes = solver.SolveInputs(
+        h=0, xdel=0, ydel=0, k_aer=None, k_mol=None, mu_pos=None,
+        w_pos=None, tab=0, n0=None,
+        surface=solver.SurfaceInputs(rho=None, rmat=None, f11=None,
+                                     f12=None, f33=None, ind_surf=None))
+    res = jax.vmap(solver.solve_fourier, in_axes=(axes, None))(
+        inp_batch, opt)
+    return res.emoins
+
+
+def _transmissions(lum, hs, xds, yds, k_aer, k_mol, aik, igmax, ipolar):
+    """(tdifmus, tdifmug): AIK-aggregated diffuse transmittances.
+
+    One extra batched solve replaces the reference's 1 + NBMU sequential
+    SOS_OS runs per CKD term (SURVEY.md §3.4).
+    """
+    n_terms = hs.shape[0]
+    mus_all = np.concatenate([[lum.mus], -lum.mu])   # solar + Gauss (tab < 0)
+    n_dir = mus_all.shape[0]
+
+    hb = jnp.asarray(np.repeat(hs, n_dir, axis=0))
+    xb = jnp.asarray(np.repeat(xds, n_dir, axis=0))
+    yb = jnp.asarray(np.repeat(yds, n_dir, axis=0))
+    tabb = jnp.asarray(np.tile(mus_all, n_terms))
+
+    inp = solver.SolveInputs(
+        h=hb, xdel=xb, ydel=yb, k_aer=k_aer[:1], k_mol=k_mol[:1],
+        mu_pos=jnp.asarray(lum.mu), w_pos=jnp.asarray(lum.w),
+        tab=tabb, n0=0,
+        surface=solver.SurfaceInputs(rho=jnp.asarray(0.0)))
+    opt = solver.SolveOptions(igmax=igmax, ipolar=ipolar)
+    emoins = np.asarray(_solve_trans_batch(inp, opt)).reshape(n_terms, n_dir)
+    tdif = aik @ emoins                              # linear in AIK (C18)
+    return float(tdif[0]), tdif[1:]
 
 
 def run(cfg: SosConfig) -> SosResults:
@@ -396,11 +512,19 @@ def run(cfg: SosConfig) -> SosResults:
     ttot_vrai = -np.log(np.sum(aik * np.exp(-ttot_vrai_terms)))
     tauout = 0.0 if cfg.view.zout_km == UNSET else float(ttot_tronc)
 
+    # --- diffuse transmittances (src/SOS.F:605-637, one batched solve)
+    tdifmus = tdifmug = None
+    if cfg.compute_transmissions:
+        tdifmus, tdifmug = _transmissions(lum, hs, xds, yds, k_aer, k_mol,
+                                          aik, cfg.igmax, cfg.ipolar)
+
     return SosResults(grid=lum, records_up=recs, records_down=recs,
                       ttot_tronc=float(ttot_tronc),
                       ttot_vrai=float(ttot_vrai), tauout=tauout,
                       emoins=emoins, eplus=eplus,
-                      coef_tronca=aer_exp.coef_tronca, n_ckd_terms=n_terms)
+                      coef_tronca=aer_exp.coef_tronca, n_ckd_terms=n_terms,
+                      thetas_deg=cfg.angles.thetas_deg,
+                      tdifmus=tdifmus, tdifmug=tdifmug)
 
 
 # ---------------------------------------------------------------------------

@@ -71,7 +71,7 @@ def _disc(dt, ta, ha, tr, hr, tabs, altabs, tim1, zmax_init, tg_zlim, zlim):
     ti = tim1 + dt
     zmax = zmax_init
     zmin = zlim
-    while True:
+    for _ in range(10000):
         zmoy = (zmax + zmin) / 2.0
         if tg_zlim > 0.0:
             if zmoy > altabs[0]:
@@ -91,6 +91,9 @@ def _disc(dt, ta, ha, tr, hr, tabs, altabs, tim1, zmax_init, tg_zlim, zlim):
             zmin = zmoy
         else:
             zmax = zmoy
+    raise RuntimeError(
+        f"tau->z bisection did not converge (ta={ta}, ha={ha}, tr={tr}, "
+        f"hr={hr}) — check scale heights are positive")
 
 
 def _layer_counts(ttot):
