@@ -170,10 +170,19 @@ def aerosol_properties(cfg: SosConfig, mie_grid):
                              "waref == wavelength (src/SOS_ABS_MAIN.F:677)")
         pm_sim = external_phase_matrix(aer.external_file, mie_grid)
         pm_ref_fn = lambda: pm_sim
+    elif aer.model == 5:
+        from .external_aerosols import (mixture_phase_matrices,
+                                        parse_mixture_file)
+        modes = parse_mixture_file(aer.mixture_file)
+        waref = aer.waref if aer.waref != UNSET else cfg.wavelength
+        pm_sim, _pm_ref = mixture_phase_matrices(
+            _signed_mu(mie_grid), cfg.wavelength, waref, aer.aot_ref,
+            modes, alpha_cap=getattr(aer, "alpha_cap", None))
+        pm_ref_fn = lambda: _pm_ref
     else:
         raise NotImplementedError(
             f"aerosol model {aer.model} not implemented "
-            "(0 mono, 1 WMO, 2 S&F, 3 bimodal, 4 external supported)")
+            "(0 mono, 1 WMO, 2 S&F, 3 bimodal, 4 external, 5 mixture)")
 
     if aer.waref != UNSET and abs(aer.waref - cfg.wavelength) > 1.0e-9:
         pm_ref = pm_ref_fn()
@@ -315,7 +324,8 @@ def _solve_vmapped(inp_batch: solver.SolveInputs, opt: solver.SolveOptions):
         h=0, xdel=0, ydel=0, k_aer=None, k_mol=None, mu_pos=None,
         w_pos=None, tab=None, n0=None,
         surface=solver.SurfaceInputs(rho=None, rmat=None, f11=None,
-                                     f12=None, f33=None, ind_surf=None))
+                                     f12=None, f33=None, ind_surf=None),
+        zprof=0 if opt.use_zout else None, zout_km=None)
     return jax.vmap(solver.solve_fourier, in_axes=(axes, None))(
         inp_batch, opt)
 
@@ -327,6 +337,8 @@ def _solve_batch(inp_batch: solver.SolveInputs, opt: solver.SolveOptions,
     if n_terms == 1:
         single = inp_batch._replace(h=inp_batch.h[0], xdel=inp_batch.xdel[0],
                                     ydel=inp_batch.ydel[0])
+        if opt.use_zout:
+            single = single._replace(zprof=single.zprof[0])
         res = solver.solve_fourier_jit(single, opt)
         return jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], res)
     return _solve_vmapped(inp_batch, opt)
@@ -489,14 +501,18 @@ def run(cfg: SosConfig) -> SosResults:
         f11=jnp.asarray(f11), f12=jnp.asarray(f12), f33=jnp.asarray(f33),
         ind_surf=jnp.asarray(float(cfg.surface.ind)
                              if cfg.surface.ind != UNSET else 1.34))
+    use_zout = cfg.view.zout_km != UNSET
     opt = solver.SolveOptions(igmax=cfg.igmax, imat_surf=imat_surf,
-                              ifresnel=ifresnel, ipolar=cfg.ipolar)
+                              ifresnel=ifresnel, ipolar=cfg.ipolar,
+                              use_zout=use_zout)
 
     inp = solver.SolveInputs(
         h=jnp.asarray(hs), xdel=jnp.asarray(xds), ydel=jnp.asarray(yds),
         k_aer=k_aer, k_mol=k_mol, mu_pos=jnp.asarray(lum.mu),
         w_pos=jnp.asarray(lum.w), tab=jnp.asarray(lum.mus), n0=lum.imus,
-        surface=surf)
+        surface=surf,
+        zprof=jnp.asarray(zprofs) if use_zout else None,
+        zout_km=jnp.asarray(float(cfg.view.zout_km)) if use_zout else None)
     res = _solve_batch(inp, opt, n_terms)
 
     # --- aggregation (C18): AIK-weighted contraction over the batch axis
@@ -510,7 +526,11 @@ def run(cfg: SosConfig) -> SosResults:
     # (``src/SOS_AGGREGATE.F:466-488``)
     ttot_tronc = -np.log(np.sum(aik * np.exp(-ttot_tronc_terms)))
     ttot_vrai = -np.log(np.sum(aik * np.exp(-ttot_vrai_terms)))
-    tauout = 0.0 if cfg.view.zout_km == UNSET else float(ttot_tronc)
+    # tauout aggregates in transmission space like the total depths
+    # (``src/SOS_AGGREGATE.F:466-488``)
+    tauout_terms = np.asarray(res.tauout).reshape(n_terms)
+    tauout = (-np.log(np.sum(aik * np.exp(-tauout_terms)))
+              if use_zout else 0.0)
 
     # --- diffuse transmittances (src/SOS.F:605-637, one batched solve)
     tdifmus = tdifmug = None

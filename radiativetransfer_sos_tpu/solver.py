@@ -68,6 +68,8 @@ class SolveInputs(NamedTuple):
     tab: jnp.ndarray        # scalar mu_s = -cos(theta_s) < 0
     n0: int                 # 0-based index of the solar angle in mu_pos
     surface: SurfaceInputs = SurfaceInputs(rho=0.0)
+    zprof: Optional[jnp.ndarray] = None   # (NT+1,) level altitudes (km)
+    zout_km: Optional[jnp.ndarray] = None  # scalar output altitude
 
 
 class SolveOptions(NamedTuple):
@@ -75,6 +77,7 @@ class SolveOptions(NamedTuple):
     imat_surf: bool = False      # BRDF/BPDF matrices present
     ifresnel: bool = False       # flat-sea Fresnel reflection
     ipolar: bool = True
+    use_zout: bool = False       # output at zout_km instead of TOA/ground
     seuil_cv_sg: float = cte.PH_SEUIL_CV_SG
     seuil_sumdif: float = cte.PH_SEUIL_SUMDIF
     seuil_valdif: float = cte.PH_SEUIL_VALDIF
@@ -87,6 +90,7 @@ class FourierResult(NamedTuple):
     i3bnd: jnp.ndarray      # (S, 3, D) Stokes at TOA (+) / ground (-)
     emoins: jnp.ndarray     # scalar: downward diffuse flux (IS=0 slice)
     eplus: jnp.ndarray      # scalar: upward diffuse flux (IS=0 slice)
+    tauout: Optional[jnp.ndarray] = None  # optical depth of the output level
 
 
 # ---------------------------------------------------------------------------
@@ -482,10 +486,17 @@ def solve_fourier(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
     emoins = -2.0 / inp.tab * jnp.sum(inp.mu_pos * inp.w_pos * dn0[0])
     eplus = -2.0 / inp.tab * jnp.sum(inp.mu_pos * inp.w_pos * up0[0])
 
-    # default output level: TOA for up, ground for down (src/SOS_OS.F:1484-1506)
-    mask_up = jnp.arange(2 * n + 1) > n
-    i3z = jnp.where(mask_up, i3out[:, 0], i3out[:, -1])
-    return FourierResult(i3z=i3z, i3bnd=i3, emoins=emoins, eplus=eplus)
+    if opt.use_zout:
+        # arbitrary output altitude: both hemispheres interpolated at the
+        # bracketing profile levels (src/SOS_OS.F:1511-1534)
+        i3z, tauout = interp_zout(i3out, inp.zprof, inp.h, inp.zout_km)
+    else:
+        # default: TOA for up, ground for down (src/SOS_OS.F:1484-1506)
+        mask_up = jnp.arange(2 * n + 1) > n
+        i3z = jnp.where(mask_up, i3out[:, 0], i3out[:, -1])
+        tauout = jnp.zeros((), dtype=i3z.dtype)
+    return FourierResult(i3z=i3z, i3bnd=i3, emoins=emoins, eplus=eplus,
+                         tauout=tauout)
 
 
 from functools import partial as _partial

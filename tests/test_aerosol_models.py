@@ -128,3 +128,51 @@ def test_spline_resample_linear_exact():
     xv = np.linspace(-0.95, 0.95, 50)
     np.testing.assert_allclose(spline_resample(x, y, xv), 2.0 * xv + 1.0,
                                atol=1e-10)
+
+
+def _write_mixture(path, ratio1=0.4, ratio2=0.6):
+    with open(path, "w") as f:
+        f.write("Number of modes : 2\n")
+        f.write("Type : LND\n")
+        f.write("Modal radius (microns) : 0.10\n")
+        f.write("Standard deviation : 0.4\n")
+        f.write("MR at simu wavelength : 1.44\n")
+        f.write("MI at simu wavelength : -0.003\n")
+        f.write("MR at ref wavelength : 1.45\n")
+        f.write("MI at ref wavelength : -0.0035\n")
+        f.write(f"AOT ratio at waref : {ratio1}\n")
+        f.write("Type : JUNGE\n")
+        f.write("Slope : 4.0\n")
+        f.write("Min radius (microns) : 0.01\n")
+        f.write("Max radius (microns) : 2.0\n")
+        f.write("MR at simu wavelength : 1.50\n")
+        f.write("MI at simu wavelength : -0.008\n")
+        f.write("MR at ref wavelength : 1.51\n")
+        f.write("MI at ref wavelength : -0.009\n")
+        f.write(f"AOT ratio at waref : {ratio2}\n")
+
+
+def test_mixture_file_parse_and_mix(tmp_path, mie_grid):
+    """IMOD=5 user mixture (src/SOS_AEROSOLS.F:2296-2660)."""
+    from radiativetransfer_sos_tpu.external_aerosols import (
+        mixture_phase_matrices, parse_mixture_file)
+    path = tmp_path / "mix.txt"
+    _write_mixture(path)
+    modes = parse_mixture_file(path)
+    assert [m.sdtype for m in modes] == [1, 2]
+    assert modes[1].p1 == 0.01 and modes[1].p2 == 4.0 and modes[1].p3 == 2.0
+    assert modes[0].aot_ratio + modes[1].aot_ratio == pytest.approx(1.0)
+
+    mu_s = np.concatenate([-mie_grid.mu[::-1], [0.0], mie_grid.mu])
+    pm_sim, pm_ref = mixture_phase_matrices(mu_s, 0.65, 0.55, 0.2, modes,
+                                            alpha_cap=25.0)
+    _check_phase_matrix(pm_sim, mie_grid)
+    _check_phase_matrix(pm_ref, mie_grid)
+
+
+def test_mixture_ratio_sum_enforced(tmp_path):
+    from radiativetransfer_sos_tpu.external_aerosols import parse_mixture_file
+    path = tmp_path / "bad.txt"
+    _write_mixture(path, ratio1=0.4, ratio2=0.5)
+    with pytest.raises(ValueError, match="sum"):
+        parse_mixture_file(path)
