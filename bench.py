@@ -51,27 +51,29 @@ def main():
     ydel = 1.0 - xdel
     opt = solver.SolveOptions(igmax=igmax)
 
-    def one(h, xd, yd):
+    def step_fn(h, xd, yd):
         inp = solver.SolveInputs(
             h=h, xdel=xd, ydel=yd, k_aer=k_aer, k_mol=k_mol,
             mu_pos=jnp.asarray(grid.mu, dtype=dtype),
             w_pos=jnp.asarray(grid.w, dtype=dtype),
             tab=jnp.asarray(grid.mus, dtype=dtype), n0=grid.imus,
             surface=solver.SurfaceInputs(rho=jnp.asarray(0.1, dtype=dtype)))
-        res = solver.solve_fourier(inp, opt)
+        # single flattened (term x Fourier-order) batch — a nested vmap
+        # compiles ~80x slower on TPU
+        res = solver.solve_fourier_batch(inp, opt)
         return res.i3z, res.emoins, res.eplus
 
-    step = jax.jit(jax.vmap(one))
+    step = jax.jit(step_fn)
 
-    # compile + warmup
+    # compile + warmup; fetch to host to defeat async dispatch
     out = step(h_b, xdel, ydel)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    np.asarray(out[1])
 
     n_iter = 3
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = step(h_b, xdel, ydel)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+        np.asarray(out[1])
     dt = (time.perf_counter() - t0) / n_iter
 
     terms_per_s = n_terms / dt

@@ -22,7 +22,7 @@ import numpy as np
 from . import constants as cte
 from .absorption.atmospheres import data_root
 from .aerosols import PhaseMatrix, integrate_granulometry, mix_phase_matrices
-from .mie import run_mie_sweep
+from .mie import run_mie_sweep_cached as run_mie_sweep
 
 _DATA_WMO = "Data_WMO_cor_2015_12_16"
 _DATA_SF = "Data_SF_cor_2015_12_16"

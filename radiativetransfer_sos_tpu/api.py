@@ -198,6 +198,13 @@ def config_from_keywords(kw: dict) -> SosConfig:
 
     cfg.compute_transmissions = "-SOS.Trans" in io
 
+    # the reference's Mie/surface product directories become the array
+    # product cache (same memoization semantics, SURVEY.md §5)
+    cache_path = io.get("-AER.DirMie") or io.get("-SURF.Dir")
+    if cache_path:
+        from .cache import set_cache_dir
+        set_cache_dir(cache_path)
+
     unknown = [k for k in kw if kw[k] is not None]
     if unknown:
         raise ValueError(f"unknown keywords: {unknown}")

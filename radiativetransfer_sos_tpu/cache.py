@@ -1,0 +1,94 @@
+"""Content-addressed product cache (the reference's file-memoization layer).
+
+The reference caches its expensive intermediate products on disk under
+parameter-encoded names and skips recomputation when the file exists: Mie
+files (``SOS_NOM_FICMIE``, ``src/SOS_AEROSOLS.F:3128``; existence check
+``:1260``) and surface BRDF/BPDF matrix files (``SOS_NOM_FIC_SURFACE.F:114``;
+check ``src/SOS_SURFACE.F:585-603``).  Here the same scheme is one generic
+keyed ``.npz`` store: the key encodes every generating parameter (readable
+prefix + SHA1 of the full canonical parameter string), arrays are the
+values.
+
+Disabled unless a cache directory is configured — set ``$RTSOS_PRODUCT_CACHE``
+or call :func:`set_cache_dir`.  Concurrent writers are safe (atomic rename,
+matching the reference's tmp-file + ``mv`` dance,
+``src/SOS_AEROSOLS.F:1443-1456``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from typing import Callable, Optional
+
+import numpy as np
+
+_cache_dir: Optional[str] = None
+_STATS = {"hits": 0, "misses": 0}
+
+
+def set_cache_dir(path: Optional[str]) -> None:
+    """Enable (or disable with None) the product cache."""
+    global _cache_dir
+    _cache_dir = path
+    if path:
+        os.makedirs(path, exist_ok=True)
+
+
+def cache_dir() -> Optional[str]:
+    if _cache_dir is not None:
+        return _cache_dir
+    env = os.environ.get("RTSOS_PRODUCT_CACHE")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    return None
+
+
+def cache_stats() -> dict:
+    return dict(_STATS)
+
+
+def _canonical(params: dict) -> str:
+    """Deterministic parameter encoding; arrays hash by content."""
+    parts = []
+    for k in sorted(params):
+        v = params[k]
+        if isinstance(v, np.ndarray):
+            h = hashlib.sha1(np.ascontiguousarray(v).tobytes()).hexdigest()
+            parts.append(f"{k}=ndarray{v.shape}:{h[:12]}")
+        elif isinstance(v, float):
+            parts.append(f"{k}={v!r}")       # full precision like the
+        else:                                # reference's format encoding
+            parts.append(f"{k}={v}")
+    return ";".join(parts)
+
+
+def memo(prefix: str, params: dict,
+         compute: Callable[[], dict]) -> dict:
+    """Return the cached arrays for (prefix, params), computing on miss.
+
+    ``compute`` returns a dict of numpy arrays (or scalars, stored as
+    0-d arrays).  With no cache directory configured this is a plain call.
+    """
+    d = cache_dir()
+    if d is None:
+        return compute()
+    digest = hashlib.sha1(_canonical(params).encode()).hexdigest()[:20]
+    path = os.path.join(d, f"{prefix}_{digest}.npz")
+    if os.path.exists(path):
+        _STATS["hits"] += 1
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    _STATS["misses"] += 1
+    out = {k: np.asarray(v) for k, v in compute().items()}
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **out)
+        os.replace(tmp, path)               # atomic, like the mv (:1456)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return out

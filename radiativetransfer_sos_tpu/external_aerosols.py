@@ -74,7 +74,7 @@ import dataclasses
 
 from . import constants as cte
 from .aerosols import integrate_granulometry, mix_phase_matrices
-from .mie import run_mie_sweep
+from .mie import run_mie_sweep_cached as run_mie_sweep
 
 
 @dataclasses.dataclass(frozen=True)

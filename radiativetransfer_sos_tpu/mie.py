@@ -338,3 +338,17 @@ def run_mie_sweep(mu, rn, in_, alpha_min, alpha_max, batch: int = 256,
     cat = lambda xs: np.concatenate(xs, axis=0)
     return MieResult(*[cat([getattr(o, f) for o in outs])
                        for f in MieResult._fields])
+
+
+def run_mie_sweep_cached(mu, rn, in_, alpha_min, alpha_max,
+                         batch: int = 256, dtype=jnp.float64) -> MieResult:
+    """``run_mie_sweep`` through the product cache (the reference's Mie-file
+    memoization, ``src/SOS_AEROSOLS.F:1233-1260``); identity call when no
+    cache directory is configured."""
+    from .cache import memo
+    params = dict(mu=np.asarray(mu), rn=float(rn), in_=float(in_),
+                  amin=float(alpha_min), amax=float(alpha_max))
+    out = memo("mie", params,
+               lambda: run_mie_sweep(mu, rn, in_, alpha_min, alpha_max,
+                                     batch, dtype)._asdict())
+    return MieResult(**out)

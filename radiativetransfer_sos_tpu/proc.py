@@ -35,7 +35,7 @@ from .absorption import gas_columns, load_ckd, tau_abs_all_terms
 from .aerosols import (AerosolExpansion, decompose_legendre,
                        integrate_granulometry, mix_phase_matrices)
 from .config import UNSET, UNSET_I, SosConfig
-from .mie import run_mie_sweep
+from .mie import run_mie_sweep_cached as run_mie_sweep
 from .surface import bpdf_matrices, glitter_matrices, roujean_matrices
 from .surface.fresnel import flat_sea_fresnel
 
@@ -201,22 +201,41 @@ def aerosol_properties(cfg: SosConfig, mie_grid):
 
 def surface_matrices(cfg: SosConfig, grid) -> Optional[np.ndarray]:
     """The Fourier reflection-matrix product of ``SOS_SURFACE``
-    (``src/SOS_SURFACE.F:341``); None when ISURF has no matrix."""
+    (``src/SOS_SURFACE.F:341``); None when ISURF has no matrix.
+
+    Memoized through the product cache with every generating parameter in
+    the key — the array equivalent of the reference's parameter-encoded
+    surface file names (``SOS_NOM_FIC_SURFACE.F:114-1049``, existence check
+    ``src/SOS_SURFACE.F:585-603``).
+    """
     s = cfg.surface
     os_nb, os_ns, os_nm = angles_mod.expansion_orders(cfg.angles.nbmu_mie,
                                                       cfg.angles.nbmu_lum)
-    if s.type == 1:
-        return glitter_matrices(grid.mu, grid.w, s.wind, s.ind,
-                                os_nb, os_ns, os_nm)
-    if s.type == 3:
-        return roujean_matrices(grid.mu, s.k0, s.k1, s.k2, os_nb)
-    if s.type in (4, 5, 6, 7):
-        model = {4: "rondeaux", 5: "breon", 6: "nadal", 7: "maignan"}[s.type]
-        return bpdf_matrices(model, grid.mu, grid.w, s.ind, os_nb, os_ns,
-                             os_nm, k0=s.k0, k1=s.k1, k2=s.k2,
-                             alpha=s.alpha_nadal, beta=s.beta_nadal,
-                             coef_c=s.coef_c_maignan)
-    return None
+    if s.type not in (1, 3, 4, 5, 6, 7):
+        return None
+
+    def compute():
+        if s.type == 1:
+            rmat = glitter_matrices(grid.mu, grid.w, s.wind, s.ind,
+                                    os_nb, os_ns, os_nm)
+        elif s.type == 3:
+            rmat = roujean_matrices(grid.mu, s.k0, s.k1, s.k2, os_nb)
+        else:
+            model = {4: "rondeaux", 5: "breon", 6: "nadal",
+                     7: "maignan"}[s.type]
+            rmat = bpdf_matrices(model, grid.mu, grid.w, s.ind, os_nb,
+                                 os_ns, os_nm, k0=s.k0, k1=s.k1, k2=s.k2,
+                                 alpha=s.alpha_nadal, beta=s.beta_nadal,
+                                 coef_c=s.coef_c_maignan)
+        return {"rmat": np.asarray(rmat)}
+
+    from .cache import memo
+    params = dict(isurf=s.type, mu=np.asarray(grid.mu), wind=s.wind,
+                  ind=s.ind, k0=s.k0, k1=s.k1, k2=s.k2,
+                  alpha=s.alpha_nadal, beta=s.beta_nadal,
+                  coef_c=s.coef_c_maignan, os_nb=os_nb, os_ns=os_ns,
+                  os_nm=os_nm)
+    return memo("surf", params, compute)["rmat"]
 
 
 # ---------------------------------------------------------------------------
@@ -271,6 +290,8 @@ class SosResults:
     # (filled when cfg.compute_transmissions; ``src/SOS.F:605-637``)
     tdifmus: Optional[float] = None       # TOA -> ground, solar incidence
     tdifmug: Optional[np.ndarray] = None  # (N,) ground -> TOA per Gauss angle
+    # per-stage wall times from the tracer (SURVEY.md §5)
+    timings: Optional[dict] = None
     # view tables (filled by trphi_option)
     phi: Optional[np.ndarray] = None
     theta: Optional[np.ndarray] = None
@@ -320,27 +341,14 @@ from functools import partial as _partial
 
 @_partial(jax.jit, static_argnames=("opt",))
 def _solve_vmapped(inp_batch: solver.SolveInputs, opt: solver.SolveOptions):
-    axes = solver.SolveInputs(
-        h=0, xdel=0, ydel=0, k_aer=None, k_mol=None, mu_pos=None,
-        w_pos=None, tab=None, n0=None,
-        surface=solver.SurfaceInputs(rho=None, rmat=None, f11=None,
-                                     f12=None, f33=None, ind_surf=None),
-        zprof=0 if opt.use_zout else None, zout_km=None)
-    return jax.vmap(solver.solve_fourier, in_axes=(axes, None))(
-        inp_batch, opt)
+    """Term-batched solve in ONE flattened (term x Fourier-order) vmap —
+    a nested vmap compiles ~80x slower on TPU (see solve_fourier_batch)."""
+    return solver.solve_fourier_batch(inp_batch, opt)
 
 
 def _solve_batch(inp_batch: solver.SolveInputs, opt: solver.SolveOptions,
                  n_terms: int):
-    """vmap the jitted solver over the CKD-term batch axis (leaves h/xdel/
-    ydel batched, everything else broadcast)."""
-    if n_terms == 1:
-        single = inp_batch._replace(h=inp_batch.h[0], xdel=inp_batch.xdel[0],
-                                    ydel=inp_batch.ydel[0])
-        if opt.use_zout:
-            single = single._replace(zprof=single.zprof[0])
-        res = solver.solve_fourier_jit(single, opt)
-        return jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], res)
+    """Jitted term-batched solve; results carry the (T, ...) axis."""
     return _solve_vmapped(inp_batch, opt)
 
 
@@ -351,18 +359,11 @@ def _solve_trans_batch(inp_batch: solver.SolveInputs,
 
     The reference runs SOS_OS once per incidence direction per CKD term
     with RHO=0, no surface matrices, IBORM=0 (``src/SOS.F:605-637``); the
-    diffuse transmittance is the EMOINS of each run.  Here the incidence
-    direction is just another vmap axis (the profile varies along it too,
-    pre-broadcast by the caller).
+    diffuse transmittance is the EMOINS of each run.  Here (term,
+    incidence) is the flattened batch axis of ``solve_fourier_batch``
+    (per-item ``tab``).
     """
-    axes = solver.SolveInputs(
-        h=0, xdel=0, ydel=0, k_aer=None, k_mol=None, mu_pos=None,
-        w_pos=None, tab=0, n0=None,
-        surface=solver.SurfaceInputs(rho=None, rmat=None, f11=None,
-                                     f12=None, f33=None, ind_surf=None))
-    res = jax.vmap(solver.solve_fourier, in_axes=(axes, None))(
-        inp_batch, opt)
-    return res.emoins
+    return solver.solve_fourier_batch(inp_batch, opt).emoins
 
 
 def _transmissions(lum, hs, xds, yds, k_aer, k_mol, aik, igmax, ipolar):
@@ -391,18 +392,26 @@ def _transmissions(lum, hs, xds, yds, k_aer, k_mol, aik, igmax, ipolar):
     return float(tdif[0]), tdif[1:]
 
 
-def run(cfg: SosConfig) -> SosResults:
-    """The full pipeline: properties -> batched CKD solve -> aggregation."""
+def run(cfg: SosConfig, trace=None) -> SosResults:
+    """The full pipeline: properties -> batched CKD solve -> aggregation.
+
+    ``trace``: optional :class:`tracing.Trace` collecting per-stage timers
+    and events (the reference's -*.Log narration, SURVEY.md §5).
+    """
+    if trace is None:
+        from .tracing import NullTrace
+        trace = NullTrace()
     cfg.validate()
 
     # --- angle grids (C4)
-    lum = angles_mod.make_radiance_grid(cfg.angles.thetas_deg,
-                                        cfg.angles.nbmu_lum,
-                                        cfg.angles.user_rad_deg)
-    mie_grid = angles_mod.make_mie_grid(cfg.angles.nbmu_mie,
-                                        cfg.angles.user_mie_deg)
-    os_nb, os_ns, os_nm = angles_mod.expansion_orders(cfg.angles.nbmu_mie,
-                                                      cfg.angles.nbmu_lum)
+    with trace.stage("angles"):
+        lum = angles_mod.make_radiance_grid(cfg.angles.thetas_deg,
+                                            cfg.angles.nbmu_lum,
+                                            cfg.angles.user_rad_deg)
+        mie_grid = angles_mod.make_mie_grid(cfg.angles.nbmu_mie,
+                                            cfg.angles.user_mie_deg)
+        os_nb, os_ns, os_nm = angles_mod.expansion_orders(
+            cfg.angles.nbmu_mie, cfg.angles.nbmu_lum)
 
     # --- molecular optical thickness
     tr = cfg.profile.mot
@@ -410,10 +419,14 @@ def run(cfg: SosConfig) -> SosResults:
         tr = rayleigh_mot(cfg.wavelength, cfg.profile.psurf)
 
     # --- aerosols (C5/C6)
-    aer_exp, ta = aerosol_properties(cfg, mie_grid)
+    with trace.stage("aerosols"):
+        aer_exp, ta = aerosol_properties(cfg, mie_grid)
+    trace.event("aerosols", ta=round(ta, 6),
+                coef_tronca=round(aer_exp.coef_tronca, 6))
 
     # --- surface (C7-C11)
-    rmat = surface_matrices(cfg, lum)
+    with trace.stage("surface"):
+        rmat = surface_matrices(cfg, lum)
     isurf = cfg.surface.type
     igli = isurf == 1
     ifresnel = isurf == 2
@@ -421,6 +434,7 @@ def run(cfg: SosConfig) -> SosResults:
 
     # --- absorption (C12-C14): tau_abs per CKD term
     use_abs = (cfg.absorption.absprofil != 7) and (cfg.profile.type == 1)
+    trace_abs = trace.stage("absorption"); trace_abs.__enter__()
     if use_abs:
         nu = 1.0e4 / cfg.wavelength
         tables = load_ckd(nu, cfg.absorption.resolution)
@@ -443,7 +457,9 @@ def run(cfg: SosConfig) -> SosResults:
         aik = np.ones(1)
         altabs = None
 
+    trace_abs.__exit__(None, None, None)
     n_terms = tau_terms.shape[0]
+    trace.event("ckd", n_terms=n_terms)
 
     # --- per-term profiles (C15) + truncation adjustment (C16)
     profs = []
@@ -513,7 +529,11 @@ def run(cfg: SosConfig) -> SosResults:
         surface=surf,
         zprof=jnp.asarray(zprofs) if use_zout else None,
         zout_km=jnp.asarray(float(cfg.view.zout_km)) if use_zout else None)
-    res = _solve_batch(inp, opt, n_terms)
+    with trace.stage("solve"):
+        res = _solve_batch(inp, opt, n_terms)
+        res = jax.tree_util.tree_map(
+            lambda x: x.block_until_ready() if hasattr(
+                x, "block_until_ready") else x, res)
 
     # --- aggregation (C18): AIK-weighted contraction over the batch axis
     i3z = np.asarray(res.i3z)               # (terms, S, 3, D)
@@ -535,8 +555,10 @@ def run(cfg: SosConfig) -> SosResults:
     # --- diffuse transmittances (src/SOS.F:605-637, one batched solve)
     tdifmus = tdifmug = None
     if cfg.compute_transmissions:
-        tdifmus, tdifmug = _transmissions(lum, hs, xds, yds, k_aer, k_mol,
-                                          aik, cfg.igmax, cfg.ipolar)
+        with trace.stage("transmissions"):
+            tdifmus, tdifmug = _transmissions(lum, hs, xds, yds, k_aer,
+                                              k_mol, aik, cfg.igmax,
+                                              cfg.ipolar)
 
     return SosResults(grid=lum, records_up=recs, records_down=recs,
                       ttot_tronc=float(ttot_tronc),
@@ -614,6 +636,27 @@ def trphi_option(cfg: SosConfig, res: SosResults) -> SosResults:
     return res
 
 
-def sos_run(cfg: SosConfig) -> SosResults:
-    """run + view recomposition in one call (the SOS_PROC surface)."""
-    return trphi_option(cfg, run(cfg))
+def sos_run(cfg: SosConfig, trace=None) -> SosResults:
+    """run + view recomposition in one call (the SOS_PROC surface).
+
+    When the config carries a ``-SOS_Main.Log`` io entry and no tracer is
+    passed, a file tracer is opened for the run and closed with the
+    reference's JOB_STATUS trailer (``src/SOS_PROC.F:1508-1530``)."""
+    own = False
+    if trace is None:
+        logfile = getattr(cfg, "io", {}).get("-SOS_Main.Log")
+        if logfile:
+            from .tracing import Trace
+            trace = Trace(logfile=logfile)
+            own = True
+    try:
+        res = trphi_option(cfg, run(cfg, trace))
+    except Exception:
+        if own:
+            trace.close(ok=False)
+        raise
+    if trace is not None:
+        res.timings = dict(trace.timings)
+    if own:
+        trace.close(ok=True)
+    return res

@@ -465,6 +465,25 @@ def _solve_one_order(k_aer_s, k_mol_s, rmat_s, is0,
 
 def solve_fourier(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
     """Solve every Fourier order; batched over the S axis via ``vmap``."""
+    res = solve_fourier_batch(
+        inp._replace(h=inp.h[None], xdel=inp.xdel[None], ydel=inp.ydel[None],
+                     zprof=None if inp.zprof is None else inp.zprof[None]),
+        opt)
+    return jax.tree_util.tree_map(lambda x: x[0], res)
+
+
+def solve_fourier_batch(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
+    """Multi-profile solve: ``h/xdel/ydel`` (and ``zprof``) carry a leading
+    term axis T (the CKD batch); kernels/surface are shared.
+
+    The (T x S) problem grid is flattened into ONE ``vmap`` axis of index
+    pairs — every instance gathers its per-term profile and per-order
+    kernel slices.  A nested ``vmap`` (terms over orders) produces the same
+    results but compiles catastrophically slower on TPU (~80x at the demo
+    shape), so this single-level layout is the production path.
+    Results get shape (T, ...).
+    """
+    t_n = inp.h.shape[0]
     n_s = inp.k_aer.shape[0]
     n = inp.mu_pos.shape[0]
     is0 = jnp.zeros((n_s,), dtype=inp.h.dtype).at[0].set(1.0)
@@ -474,27 +493,41 @@ def solve_fourier(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
     else:
         rmat = jnp.zeros((n_s, 3, 3, n, n), dtype=inp.h.dtype)
 
-    def one(k_aer_s, k_mol_s, rmat_s, is0_s):
-        return _solve_one_order(k_aer_s, k_mol_s, rmat_s, is0_s, inp, opt)
+    tt, ss = jnp.meshgrid(jnp.arange(t_n), jnp.arange(n_s), indexing="ij")
 
-    i3, i3out = jax.vmap(one)(inp.k_aer, inp.k_mol, rmat, is0)
+    tab_batched = jnp.ndim(inp.tab) == 1       # per-term incidence (trans runs)
 
-    # diffuse fluxes at IS = 0 (src/SOS_OS.F:1447-1456)
-    i3_0 = i3[0]
-    dn0 = down_view(i3_0[None])[0]     # (3, N)
-    up0 = up_view(i3_0[None])[0]
-    emoins = -2.0 / inp.tab * jnp.sum(inp.mu_pos * inp.w_pos * dn0[0])
-    eplus = -2.0 / inp.tab * jnp.sum(inp.mu_pos * inp.w_pos * up0[0])
+    def one(t_idx, s_idx):
+        inner = inp._replace(
+            h=inp.h[t_idx], xdel=inp.xdel[t_idx], ydel=inp.ydel[t_idx],
+            tab=inp.tab[t_idx] if tab_batched else inp.tab,
+            zprof=None if inp.zprof is None else inp.zprof[t_idx])
+        return _solve_one_order(inp.k_aer[s_idx], inp.k_mol[s_idx],
+                                rmat[s_idx], is0[s_idx], inner, opt)
+
+    i3, i3out = jax.vmap(one)(tt.ravel(), ss.ravel())
+    d = 2 * n + 1
+    i3 = i3.reshape(t_n, n_s, 3, d)
+    i3out = i3out.reshape((t_n, n_s) + i3out.shape[1:])
+
+    # diffuse fluxes at IS = 0 (src/SOS_OS.F:1447-1456), per term
+    i3_0 = i3[:, 0]                                  # (T, 3, D)
+    dn0 = down_view(i3_0)                            # (T, 3, N)
+    up0 = up_view(i3_0)
+    wmu = inp.mu_pos * inp.w_pos
+    emoins = -2.0 / inp.tab * jnp.sum(wmu * dn0[:, 0], axis=-1)
+    eplus = -2.0 / inp.tab * jnp.sum(wmu * up0[:, 0], axis=-1)
 
     if opt.use_zout:
         # arbitrary output altitude: both hemispheres interpolated at the
         # bracketing profile levels (src/SOS_OS.F:1511-1534)
-        i3z, tauout = interp_zout(i3out, inp.zprof, inp.h, inp.zout_km)
+        i3z, tauout = jax.vmap(interp_zout, in_axes=(0, 0, 0, None))(
+            i3out, inp.zprof, inp.h, inp.zout_km)
     else:
         # default: TOA for up, ground for down (src/SOS_OS.F:1484-1506)
-        mask_up = jnp.arange(2 * n + 1) > n
-        i3z = jnp.where(mask_up, i3out[:, 0], i3out[:, -1])
-        tauout = jnp.zeros((), dtype=i3z.dtype)
+        mask_up = jnp.arange(d) > n
+        i3z = jnp.where(mask_up, i3out[:, :, 0], i3out[:, :, -1])
+        tauout = jnp.zeros((t_n,), dtype=i3z.dtype)
     return FourierResult(i3z=i3z, i3bnd=i3, emoins=emoins, eplus=eplus,
                          tauout=tauout)
 
