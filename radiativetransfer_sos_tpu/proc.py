@@ -462,19 +462,27 @@ def run(cfg: SosConfig, trace=None) -> SosResults:
     trace.event("ckd", n_terms=n_terms)
 
     # --- per-term profiles (C15) + truncation adjustment (C16)
-    profs = []
-    for k in range(n_terms):
-        if cfg.profile.type == 2:
-            p = profile.slab_profile(tr, cfg.profile.hr, ta,
-                                     cfg.profile.zmin, cfg.profile.zmax)
-        elif use_abs and tau_terms[k, -1] > 0.0:
-            p = profile.exp_profile_with_gas(tr, cfg.profile.hr, ta,
-                                             cfg.profile.ha, altabs,
-                                             tau_terms[k])
-        else:
-            p = profile.exp_profile_no_gas(tr, cfg.profile.hr, ta,
-                                           cfg.profile.ha)
-        profs.append(p)
+    from . import native
+    if cfg.profile.type == 2:
+        profs = [profile.slab_profile(tr, cfg.profile.hr, ta,
+                                      cfg.profile.zmin, cfg.profile.zmax)
+                 for _ in range(n_terms)]
+    elif use_abs and native.available():
+        # one native call builds every term's adaptive grid (the Python
+        # loop dominates setup at large CKD term counts)
+        profs = native.exp_profiles_batch(tr, cfg.profile.hr, ta,
+                                          cfg.profile.ha, altabs, tau_terms)
+    else:
+        profs = []
+        for k in range(n_terms):
+            if use_abs and tau_terms[k, -1] > 0.0:
+                p = profile.exp_profile_with_gas(tr, cfg.profile.hr, ta,
+                                                 cfg.profile.ha, altabs,
+                                                 tau_terms[k])
+            else:
+                p = profile.exp_profile_no_gas(tr, cfg.profile.hr, ta,
+                                               cfg.profile.ha)
+            profs.append(p)
     nt_max = max(p.nt for p in profs)
     ttot_vrai_terms = np.array([p.h[-1] for p in profs])
 
