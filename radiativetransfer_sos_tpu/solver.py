@@ -11,29 +11,42 @@ Fourier loop ``DO IS``           batch axis S — every order solved at once
                                  early-exit test is reproduced post-hoc in
                                  ``fourier_stop_mask``)
 ``SOS_NOYAUX``                   precomputed GSF basis + ``kernels.py`` matmuls
-``SOS_FSOURCE_ORDRE1``           ``primary_source``
-``SOS_FSOURCE_ORDREIG``          ``scatter_source`` — one batched matmul
-  (``src/SOS_OS.F:2663``)        over the (3*(2N+1))^2 block kernel (MXU)
-``SOS_INTEGR_EPOPT``             ``sweep_up`` / ``sweep_down`` via
-  (``src/SOS_OS.F:2222``)        ``lax.associative_scan`` on affine maps
+``SOS_FSOURCE_ORDRE1``           ``_primary_flat``
+``SOS_FSOURCE_ORDREIG``          one ``(NT+1, W) @ (W, 2W)`` matmul per order
+  (``src/SOS_OS.F:2663``)        (MXU) — see *flat layout* below
+``SOS_INTEGR_EPOPT``             ``_sweep_flat`` via ``lax.associative_scan``
+  (``src/SOS_OS.F:2222``)        on affine maps
 ``DO 503`` scattering loop       ``lax.scan`` over IG with per-order masking
-``SOS_PARAM_CONV`` etc.          ``_param_conv`` / ``_arret_diffus_*``
+``SOS_PARAM_CONV`` etc.          ``_param_conv`` / stop tests in the scan body
 ``SOS_AJOUT_QUEUE``              ``_queue`` (geometric-series tail)
 ``SOS_ARRET_FOURIER``            ``fourier_stop_mask``
 ===============================  =============================================
 
-Direction layout: signed axis of size D = 2N+1; ``d = N + j`` maps to the
-reference's signed Gauss index ``j`` and the center slot d = N is the solar
-direction (weight 0).  Positive hemisphere view index p = 0..N-1 corresponds
-to Fortran j = p+1.
+**Flat field layout (TPU tiling).**  The radiance field of one (CKD term,
+Fourier order) instance is held as a single ``(NT+1, W)`` array whose last
+axis is lane-aligned:  ``W = 2*HP`` with ``HP = ceil(3*N/128)*128``; columns
+``[0, 3N)`` are the *upward* hemisphere (Stokes-major: ``c = s*N + p`` with
+``p`` the positive-mu index, reference signed index ``j = p+1``), columns
+``[HP, HP+3N)`` the *downward* hemisphere (same ``p`` ordering, ``j =
+-(p+1)``), and the rest zero padding.  A naive ``(NT+1, 3, D)`` layout pads
+each trailing ``(3, 83)`` pair to an ``(8, 128)`` physical tile — a ~4x
+waste of HBM bandwidth on every elementwise op; the flat layout reduces the
+padding waste to < 5% and turns the scattering-source contraction into one
+dense, aligned matmul.  The reference's exact solar direction (the signed
+center slot, always zero in the diffuse field) is dropped entirely.
+
+Gauss weights and the 1/2 factor of the source integral are folded into the
+flat operator matrices once per solve (``_flat_operator``).
 """
 
 from __future__ import annotations
 
+from functools import partial as _partial
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from . import constants as cte
@@ -94,26 +107,94 @@ class FourierResult(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
-# Hemisphere views of the signed direction axis
+# Flat layout helpers
 # ---------------------------------------------------------------------------
 
-def up_view(field):
-    """(..., D) -> (..., N) positive directions, p = 0..N-1 <-> j = p+1."""
-    n = (field.shape[-1] - 1) // 2
-    return field[..., n + 1:]
+def _half_pad(n: int) -> int:
+    """Lane-aligned width of one hemisphere block (3N padded to 128k)."""
+    return ((3 * n + 127) // 128) * 128
 
 
-def down_view(field):
-    """(..., D) -> (..., N) negative directions in the same p ordering."""
-    n = (field.shape[-1] - 1) // 2
-    return jnp.flip(field[..., :n], axis=-1)
+def _dir_select(n: int) -> np.ndarray:
+    """Signed-axis indices of (up..., down...) in flat ``p`` ordering.
+
+    Signed layout (size D = 2N+1): ``d = N + j``; up ``j = p+1``, down
+    ``j = -(p+1)``.
+    """
+    idx_up = np.arange(1, n + 1) + n
+    idx_dn = n - 1 - np.arange(n)
+    return np.concatenate([idx_up, idx_dn])
 
 
-def assemble_signed(up, down):
-    """Inverse of (up_view, down_view); center slot zero."""
-    n = up.shape[-1]
-    center = jnp.zeros(up.shape[:-1] + (1,), dtype=up.dtype)
-    return jnp.concatenate([jnp.flip(down, axis=-1), center, up], axis=-1)
+def _pad_half(x3, hp):
+    """(..., 3, N) -> (..., HP) flat Stokes-major with zero padding."""
+    n3 = x3.shape[-2] * x3.shape[-1]
+    flat = x3.reshape(x3.shape[:-2] + (n3,))
+    pad = [(0, 0)] * (flat.ndim - 1) + [(0, hp - n3)]
+    return jnp.pad(flat, pad)
+
+
+def _signed_from_flat(v, n):
+    """(..., W) flat -> (..., 3, D) signed-axis layout (center slot zero)."""
+    hp = v.shape[-1] // 2
+    lead = v.shape[:-1]
+    up = v[..., :3 * n].reshape(lead + (3, n))
+    dn = v[..., hp:hp + 3 * n].reshape(lead + (3, n))
+    d = 2 * n + 1
+    out = jnp.zeros(lead + (3, d), v.dtype)
+    out = out.at[..., n + 1:].set(up)
+    out = out.at[..., :n].set(jnp.flip(dn, axis=-1))
+    return out
+
+
+def _flat_operator(k, w_pos):
+    """Block phase kernels -> flat right-multiply operator matrices.
+
+    ``k``: (S, 3, 3, D, D) with index [s, out-Stokes, in-Stokes, out-dir,
+    in-dir] on the signed direction axis.  Returns M of shape (S, W, W) such
+    that ``src_flat = field_flat @ M[s]`` realises the Gauss-weighted source
+    contraction of ``SOS_FSOURCE_ORDREIG`` (``src/SOS_OS.F:2859-2905``),
+    i.e. ``M[s][(hb,ti,pb), (ha,so,pa)] = 0.5 * w[pb] * K[s,so,ti,a,b]``.
+    """
+    s_n = k.shape[0]
+    d = k.shape[-1]
+    n = (d - 1) // 2
+    hp = _half_pad(n)
+    sel = jnp.asarray(_dir_select(n))
+    g = jnp.take(jnp.take(k, sel, axis=3), sel, axis=4)
+    g = g.reshape(s_n, 3, 3, 2, n, 2, n)     # (S, so, ti, ha, pa, hb, pb)
+    m = jnp.transpose(g, (0, 5, 2, 6, 3, 1, 4))  # (S, hb, ti, pb, ha, so, pa)
+    m = m.reshape(s_n, 2, 3 * n, 2, 3 * n)
+    wrow = 0.5 * jnp.tile(w_pos, 3).astype(k.dtype)
+    m = m * wrow[None, None, :, None, None]
+    out = jnp.zeros((s_n, 2, hp, 2, hp), k.dtype)
+    out = out.at[:, :, :3 * n, :, :3 * n].set(m)
+    return out.reshape(s_n, 2 * hp, 2 * hp)
+
+
+def _flat_solar_col(k):
+    """Per-order solar columns ``P[so, 0](dir_out, sun)`` in flat layout.
+
+    (S, 3, 3, D, D) -> (S, W); reference ``SOS_FSOURCE_ORDRE1`` reads the
+    phase kernels at the exact solar direction (``src/SOS_OS.F:2431``).
+    """
+    d = k.shape[-1]
+    n = (d - 1) // 2
+    hp = _half_pad(n)
+    col = k[:, :, 0, :, n]                   # (S, 3, D) over output dirs
+    up = col[..., n + 1:]
+    dn = jnp.flip(col[..., :n], axis=-1)
+    out = jnp.zeros((k.shape[0], 2, hp), k.dtype)
+    out = out.at[:, 0, :3 * n].set(up.reshape(k.shape[0], 3 * n))
+    out = out.at[:, 1, :3 * n].set(dn.reshape(k.shape[0], 3 * n))
+    return out.reshape(k.shape[0], 2 * hp)
+
+
+def _mu_half(mu_pos, hp, dtype):
+    """Direction cosines along one hemisphere block (pad slots = 1)."""
+    n = mu_pos.shape[0]
+    out = jnp.ones((hp,), dtype=dtype)
+    return out.at[:3 * n].set(jnp.tile(mu_pos, 3).astype(dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -127,97 +208,68 @@ def _affine_compose(prev, nxt):
     return a1 * a2, b1 * a2 + b2
 
 
-def sweep_up(h, mu_pos, src_up, bc_ground):
-    """Integrate the upward field from ground to TOA.
+def _sweep_flat(h, mu_half, src, bc_up):
+    """Integrate both hemispheres of the flat field in one pass.
 
-    ``src_up``: (NT+1, 3, N) source at each level; ``bc_ground``: (3, N).
-    Returns the field at every level, (NT+1, 3, N).  Linear-in-tau source
-    per layer (``src/SOS_OS.F:2279-2310``), evaluated with a log-depth
-    associative scan instead of the sequential level loop.
+    ``src``: (NT+1, W) flat source, ``bc_up``: (HP,) upward ground boundary.
+    Up half: ground -> TOA; down half: TOA (zero) -> ground, both with the
+    reference's linear-in-tau source per layer (``src/SOS_OS.F:2279-2354``),
+    evaluated as a log-depth associative scan on affine maps instead of the
+    sequential level loop.  Returns the field at every level, (NT+1, W).
     """
-    dtau = (h[1:] - h[:-1])[:, None, None]              # (NT, 1, 1)
-    att = jnp.exp(-dtau / mu_pos[None, None, :])        # (NT, 1, N) -> bcast
-    b_lo = src_up[:-1]                                  # level i   (lower tau)
-    # zero-thickness padding layers are identity steps (a=1, b=0)
-    a_lin = jnp.where(dtau > 0.0,
-                      (src_up[1:] - b_lo) / jnp.where(dtau > 0.0, dtau, 1.0),
-                      0.0)
-    step_b = (1.0 - att) * (a_lin * mu_pos + b_lo) - a_lin * att * dtau
-    step_a = jnp.broadcast_to(att, step_b.shape)
+    hp = mu_half.shape[0]
+    dtau = (h[1:] - h[:-1])[:, None]                    # (NT, 1)
+    pos = dtau > 0.0
+    safe = jnp.where(pos, dtau, 1.0)
+    att = jnp.exp(-dtau / mu_half[None, :])             # (NT, HP) shared
+    su, sd = src[:, :hp], src[:, hp:]
+    # zero-thickness padding layers are identity steps (a = att = 1, b = 0)
+    al_u = jnp.where(pos, (su[1:] - su[:-1]) / safe, 0.0)
+    al_d = jnp.where(pos, (sd[1:] - sd[:-1]) / safe, 0.0)
+    bu = (1.0 - att) * (al_u * mu_half + su[:-1]) - al_u * att * dtau
+    bd = (1.0 - att) * (-al_d * mu_half + sd[1:]) + al_d * att * dtau
 
-    # steps are applied from i = NT-1 down to 0: reverse, prefix-compose.
-    a_rev = jnp.flip(step_a, axis=0)
-    b_rev = jnp.flip(step_b, axis=0)
-    ca, cb = lax.associative_scan(_affine_compose, (a_rev, b_rev), axis=0)
-    levels_rev = ca * bc_ground[None] + cb              # level NT-1-t
-    field = jnp.concatenate([jnp.flip(levels_rev, axis=0),
-                             bc_ground[None]], axis=0)
-    return field
-
-
-def sweep_down(h, mu_pos, src_dn):
-    """Integrate the downward field from TOA (zero) to ground.
-
-    ``src_dn``: (NT+1, 3, N) in positive-p ordering (mu = -mu_pos).
-    Reference ``src/SOS_OS.F:2320-2354``.
-    """
-    dtau = (h[1:] - h[:-1])[:, None, None]
-    att = jnp.exp(-dtau / mu_pos[None, None, :])        # exp(dtau/(-mu))
-    b_hi = src_dn[1:]                                   # level i (higher tau)
-    a_lin = jnp.where(dtau > 0.0,
-                      (b_hi - src_dn[:-1]) / jnp.where(dtau > 0.0, dtau, 1.0),
-                      0.0)
-    step_b = (1.0 - att) * (a_lin * (-mu_pos) + b_hi) + a_lin * att * dtau
-    step_a = jnp.broadcast_to(att, step_b.shape)
-
-    ca, cb = lax.associative_scan(_affine_compose, (step_a, step_b), axis=0)
-    zero = jnp.zeros_like(src_dn[:1])
-    return jnp.concatenate([zero, cb], axis=0)          # z0 = 0 -> field = cb
-
-
-def sweep(h, mu_pos, src, bc_ground):
-    """Full signed-axis sweep; ``src``/(result): (NT+1, 3, D)."""
-    f_up = sweep_up(h, mu_pos, up_view(src), bc_ground)
-    f_dn = sweep_down(h, mu_pos, down_view(src))
-    return assemble_signed(f_up, f_dn)
+    # up: steps applied from layer NT-1 down to 0 -> reverse, prefix-compose
+    ca, cb = lax.associative_scan(
+        _affine_compose, (jnp.flip(att, axis=0), jnp.flip(bu, axis=0)),
+        axis=0)
+    up = jnp.concatenate([jnp.flip(ca * bc_up[None] + cb, axis=0),
+                          bc_up[None]], axis=0)
+    # down: z0 = 0 at TOA -> prefix b terms only
+    _, cbd = lax.associative_scan(_affine_compose, (att, bd), axis=0)
+    dn = jnp.concatenate([jnp.zeros_like(sd[:1]), cbd], axis=0)
+    return jnp.concatenate([up, dn], axis=1)
 
 
 # ---------------------------------------------------------------------------
 # Source functions
 # ---------------------------------------------------------------------------
 
-def scatter_source(k_aer, k_mol, xdel, ydel, w_signed, field):
+def _scatter_flat(mboth, xdel, ydel, field):
     """Order-IG source from the order-(IG-1) field (SOS_FSOURCE_ORDREIG).
 
-    ``field``: (NT+1, 3, D).  Computes
-    ``S(i,s,k) = 0.5 * sum_{t,j} P_mix(i)[s,t](k,j) w(j) field(i,t,j)``
-    with ``P_mix(i) = xdel(i) K_aer + ydel(i) K_mol``
-    (``src/SOS_OS.F:2859-2905``), as two batched matmuls.
+    One aligned matmul on the MXU: ``mboth`` is (W, 2W) = [M_aer | M_mol]
+    from ``_flat_operator`` (weights and the 1/2 folded in), mixed per level
+    with the aerosol/molecular scattering fractions
+    (``src/SOS_OS.F:2859-2905``).
     """
-    lw = field * w_signed                                # (NT+1, 3, D)
-    sa = jnp.einsum("stkj,itj->isk", k_aer, lw,
-                    preferred_element_type=field.dtype)
-    sm = jnp.einsum("stkj,itj->isk", k_mol, lw,
-                    preferred_element_type=field.dtype)
-    return 0.5 * (xdel[:, None, None] * sa + ydel[:, None, None] * sm)
+    w = mboth.shape[0]
+    out = jnp.matmul(field, mboth, preferred_element_type=field.dtype)
+    return xdel[:, None] * out[:, :w] + ydel[:, None] * out[:, w:]
 
 
-def primary_source(k_aer, k_mol, xdel, ydel, h, tab):
+def _primary_flat(col_a, col_m, xdel, ydel, h, tab):
     """Primary-scattering source from the attenuated direct beam.
 
-    Reference ``SOS_FSOURCE_ORDRE1`` (``src/SOS_OS.F:2431``): the direct beam
-    enters through the solar column (center slot) of the phase kernels with
+    Reference ``SOS_FSOURCE_ORDRE1`` (``src/SOS_OS.F:2431``): direct beam
     attenuation ``CH(i) = exp(-h_i/|mu_s|)/4`` (``src/SOS_OS.F:837-839``).
     """
-    n = (k_aer.shape[-1] - 1) // 2
     ch = jnp.exp(h / tab) / 4.0                          # tab < 0
-    col_a = k_aer[:, 0, :, n]                            # (3, D): P[:,0](.,sun)
-    col_m = k_mol[:, 0, :, n]
-    mix = xdel[:, None, None] * col_a + ydel[:, None, None] * col_m
-    return ch[:, None, None] * mix                       # (NT+1, 3, D)
+    mix = xdel[:, None] * col_a[None, :] + ydel[:, None] * col_m[None, :]
+    return ch[:, None] * mix                             # (NT+1, W)
 
 
-def fresnel_primary_source(k_aer, k_mol, xdel, ydel, h, tab, f11, f12):
+def _fresnel_primary_flat(k_aer, k_mol, xdel, ydel, h, tab, f11, f12, hp):
     """Source for the first scattering of the flat-sea-reflected sun beam.
 
     Transcription of ``SOS_FSOURCE_DIFF_FRESNEL1`` (``src/SOS_OS.F:3106``):
@@ -229,7 +281,6 @@ def fresnel_primary_source(k_aer, k_mol, xdel, ydel, h, tab, f11, f12):
     n = (k_aer.shape[-1] - 1) // 2
     f11s, f12s = f11[0], f12[0]
 
-    # signed-axis index helpers
     pj = jnp.arange(1, n + 1)
     idx_pos = n + pj          # +j
     idx_neg = n - pj          # -j
@@ -238,7 +289,7 @@ def fresnel_primary_source(k_aer, k_mol, xdel, ydel, h, tab, f11, f12):
     def elem(so, si, a_idx, b_idx, sign=1.0):
         ka = sign * k_aer[so, si][a_idx, b_idx]
         km = sign * k_mol[so, si][a_idx, b_idx]
-        return ka, km          # (P,) vectors
+        return ka, km          # (N,) vectors
 
     # raw kernels from the block operator:
     # BP(a,b)=P00(a,b); GR(a,b)=P01(a,b); GT(a,b)=-P02(a,b);
@@ -272,9 +323,9 @@ def fresnel_primary_source(k_aer, k_mol, xdel, ydel, h, tab, f11, f12):
     up_u = coef[:-1, None] * (f11s * mixl(gt_0mj, xp[:-1], yr[:-1])
                               + f12s * mixl(art_mj0, xp[:-1], yr[:-1]))
     zrow = jnp.zeros((1, n), dtype=h.dtype)
-    src_up = jnp.stack([jnp.concatenate([up_i, zrow]),
-                        jnp.concatenate([up_q, zrow]),
-                        jnp.concatenate([up_u, zrow])], axis=1)
+    up3 = jnp.stack([jnp.concatenate([up_i, zrow]),
+                     jnp.concatenate([up_q, zrow]),
+                     jnp.concatenate([up_u, zrow])], axis=1)
 
     # downward source rows, defined at levels 1..NT (src/SOS_OS.F:3285-3289)
     dn_i = coef[1:, None] * (f11s * mixl(bp_0j, xp[1:], yr[1:])
@@ -283,43 +334,46 @@ def fresnel_primary_source(k_aer, k_mol, xdel, ydel, h, tab, f11, f12):
                              + f12s * mixl(arr_0j, xp[1:], yr[1:]))
     dn_u = coef[1:, None] * (f11s * mixl(gt_0j, xp[1:], yr[1:])
                              + f12s * mixl(art_j0, xp[1:], yr[1:]))
-    src_dn = jnp.stack([jnp.concatenate([zrow, dn_i]),
-                        jnp.concatenate([zrow, dn_q]),
-                        jnp.concatenate([zrow, dn_u])], axis=1)
+    dn3 = jnp.stack([jnp.concatenate([zrow, dn_i]),
+                     jnp.concatenate([zrow, dn_q]),
+                     jnp.concatenate([zrow, dn_u])], axis=1)
 
-    return assemble_signed(src_up, src_dn)
+    return jnp.concatenate([_pad_half(up3, hp), _pad_half(dn3, hp)], axis=-1)
 
 
 # ---------------------------------------------------------------------------
 # Ground boundary conditions
 # ---------------------------------------------------------------------------
 
-def _surface_reflect(prev_dn_ground, inp: SolveInputs, opt: SolveOptions,
-                     rmat_s, is0):
-    """Upward ground BC for orders IG >= 2 (``src/SOS_OS.F:1164-1239``)."""
+def _surface_reflect_flat(ground_dn, inp: SolveInputs, opt: SolveOptions,
+                          rmat_s, is0, hp):
+    """Upward ground BC (flat, (HP,)) for orders IG >= 2
+    (``src/SOS_OS.F:1164-1239``)."""
     mu, w = inp.mu_pos, inp.w_pos
+    n = mu.shape[0]
+    gd = ground_dn[:3 * n].reshape(3, n)
     rho = inp.surface.rho
     # Lambertian: LSOL = 2 rho sum w mu I_dn(ground) at IS = 0 only
-    lsol = 2.0 * rho * jnp.sum(w * mu * prev_dn_ground[0]) * is0
-    bc = jnp.zeros_like(prev_dn_ground).at[0].set(lsol)
+    lsol = 2.0 * rho * jnp.sum(w * mu * gd[0]) * is0
+    bc = jnp.zeros_like(gd).at[0].set(lsol)
     if opt.imat_surf:
-        v = jnp.einsum("xyjk,yj->xk", rmat_s, prev_dn_ground * w)
+        v = jnp.einsum("xyjk,yj->xk", rmat_s, gd * w)
         bc = bc + 2.0 * v / mu
     if opt.ifresnel:
         f11 = inp.surface.f11[1:]
         f12 = inp.surface.f12[1:]
         f33 = inp.surface.f33[1:]
-        add_i = f11 * prev_dn_ground[0] + f12 * prev_dn_ground[1]
-        add_q = f12 * prev_dn_ground[0] + f11 * prev_dn_ground[1]
-        add_u = f33 * prev_dn_ground[2]
+        add_i = f11 * gd[0] + f12 * gd[1]
+        add_q = f12 * gd[0] + f11 * gd[1]
+        add_u = f33 * gd[2]
         bc = bc + jnp.stack([add_i, add_q, add_u])
-    return bc
+    return _pad_half(bc, hp)
 
 
-def _order1_bc(inp: SolveInputs, opt: SolveOptions, rmat_s, is0):
+def _order1_bc_flat(inp: SolveInputs, opt: SolveOptions, rmat_s, is0, hp):
     """Ground BC for the primary interaction (``src/SOS_OS.F:968-992``).
 
-    Returns (bc (3,N), xr (N,)) — ``xr`` is the Lambertian part, kept apart
+    Returns (bc (HP,), xr (N,)) — ``xr`` is the Lambertian part, kept apart
     for the direct-reflection bookkeeping (``src/SOS_OS.F:1047-1084``).
     """
     mu = inp.mu_pos
@@ -330,7 +384,7 @@ def _order1_bc(inp: SolveInputs, opt: SolveOptions, rmat_s, is0):
     if opt.imat_surf:
         rr = jnp.exp(h_nt / inp.tab) / mu
         bc = bc + rmat_s[:, 0, inp.n0, :] * rr
-    return bc, xr
+    return _pad_half(bc, hp), xr
 
 
 # ---------------------------------------------------------------------------
@@ -357,110 +411,117 @@ def _queue(d1, g1):
     return jnp.where(d1 != 0.0, g1 / (1.0 - _safe_div(g1, d1)), 0.0)
 
 
-def _boundary(field):
-    """(NT+1,3,D) -> (3,D): TOA for upward slots, ground for downward."""
-    n = (field.shape[-1] - 1) // 2
-    top = field[0]
-    bot = field[-1]
-    mask_up = (jnp.arange(field.shape[-1]) > n)
-    return jnp.where(mask_up, top, bot)
+def _bnd(field, hp):
+    """(NT+1, W) -> (W,): TOA row for the up half, ground for the down."""
+    return jnp.concatenate([field[0, :hp], field[-1, hp:]])
 
 
 # ---------------------------------------------------------------------------
 # One Fourier order: primary interaction + scattering-order loop
 # ---------------------------------------------------------------------------
 
-def _solve_one_order(k_aer_s, k_mol_s, rmat_s, is0,
+def _solve_one_order(mboth, col_a, col_m, k_aer_s, k_mol_s, rmat_s, is0,
                      inp: SolveInputs, opt: SolveOptions):
-    """Solve the IG loop for one Fourier order; returns accumulated fields.
+    """Solve the IG loop for one Fourier order in the flat layout.
 
-    Outputs: i3out (NT+1, 3, D) accumulated Stokes, i3 (3, D) at the
-    convergence boundary (TOA up / ground down).
+    Returns ``(i3 (W,), acc_full)`` where ``i3`` is the accumulated Stokes
+    at the output boundary (TOA up / ground down) and ``acc_full`` is the
+    accumulated field at every level (``(NT+1, W)``, only when
+    ``opt.use_zout``; ``None`` otherwise — the default output needs only the
+    boundary rows, so the full-profile accumulators are not carried).
     """
     h, xdel, ydel = inp.h, inp.xdel, inp.ydel
-    mu, w = inp.mu_pos, inp.w_pos
+    mu = inp.mu_pos
     n = mu.shape[0]
-    d = 2 * n + 1
-    w_signed = jnp.concatenate([jnp.flip(w), jnp.zeros((1,), w.dtype), w])
+    hp = mboth.shape[0] // 2
+    muh = _mu_half(mu, hp, h.dtype)
 
     # ----- order IG = 1 -----
-    src1 = primary_source(k_aer_s, k_mol_s, xdel, ydel, h, inp.tab)
-    bc1, xr1 = _order1_bc(inp, opt, rmat_s, is0)
-    field = sweep(h, mu, src1, bc1)
+    src1 = _primary_flat(col_a, col_m, xdel, ydel, h, inp.tab)
+    bc1, xr1 = _order1_bc_flat(inp, opt, rmat_s, is0, hp)
+    field = _sweep_flat(h, muh, src1, bc1)
 
     if opt.ifresnel:
-        srcf = fresnel_primary_source(k_aer_s, k_mol_s, xdel, ydel, h,
-                                      inp.tab, inp.surface.f11,
-                                      inp.surface.f12)
-        field = field + sweep(h, mu, srcf, jnp.zeros_like(bc1))
+        srcf = _fresnel_primary_flat(k_aer_s, k_mol_s, xdel, ydel, h,
+                                     inp.tab, inp.surface.f11,
+                                     inp.surface.f12, hp)
+        field = field + _sweep_flat(h, muh, srcf, jnp.zeros_like(bc1))
 
     # direct-reflection contribution to be removed at the end
-    # (src/SOS_OS.F:1062-1084)
+    # (src/SOS_OS.F:1062-1084): attenuated transport of the ground BRDF
+    # reflection of the direct beam
     if opt.imat_surf:
-        up_ground = up_view(field)[-1]                  # == bc1 (+ fresnel)
-        att = jnp.exp(-(h[-1] - h)[:, None, None] / mu)
-        rii_out_up = att * (up_ground - jnp.stack(
-            [xr1, jnp.zeros_like(xr1), jnp.zeros_like(xr1)]))[None]
+        up_ground = field[-1, :3 * n].reshape(3, n)     # == bc1 (+ fresnel)
+        xr3 = jnp.zeros((3, n), h.dtype).at[0].set(xr1)
+        if opt.use_zout:
+            att = jnp.exp(-(h[-1] - h)[:, None, None] / mu)
+            rii_full = _pad_half(att * (up_ground - xr3)[None], hp)
+        else:
+            att0 = jnp.exp(-(h[-1] - h[0]) / mu)
+            rii0 = _pad_half(att0 * (up_ground - xr3), hp)
     else:
-        rii_out_up = jnp.zeros((h.shape[0], 3, n), dtype=h.dtype)
+        rii_full = jnp.zeros((h.shape[0], hp), h.dtype)
+        rii0 = jnp.zeros((hp,), h.dtype)
 
-    i3out = field
-    i3 = _boundary(field)
+    i3 = _bnd(field, hp)
     d1 = i3
-    d1out = field
     a1 = jnp.zeros_like(i3)
+    if opt.use_zout:
+        acc = field
+        d1out = field
+    else:
+        acc = None
+        d1out = None
 
     def body(carry, ig):
-        (fld, i3_c, i3out_c, a1_c, d1_c, d1out_c, done) = carry
+        (fld, i3_c, a1_c, d1_c, acc_c, d1out_c, done) = carry
 
-        prev_dn_ground = down_view(fld)[-1]
-        src = scatter_source(k_aer_s, k_mol_s, xdel, ydel, w_signed, fld)
-        bc = _surface_reflect(prev_dn_ground, inp, opt, rmat_s, is0)
-        new = sweep(h, mu, src, bc)
-        g1 = _boundary(new)
+        src = _scatter_flat(mboth, xdel, ydel, fld)
+        bc = _surface_reflect_flat(fld[-1, hp:], inp, opt, rmat_s, is0, hp)
+        new = _sweep_flat(h, muh, src, bc)
+        g1 = _bnd(new, hp)
 
         # geometric-series test, skipped at IG == 2 (src/SOS_OS.F:1285-1293)
         z_conv = _param_conv(a1_c, d1_c, g1, i3_c)
         conv = (ig > 2) & (z_conv <= opt.seuil_cv_sg) & (~done)
-
-        # converged: add the geometric tail, stop (src/SOS_OS.F:1299-1315)
-        tail_bnd = _queue(d1_c, g1)
-        tail_out = _queue(d1out_c, new)
-        i3_conv = i3_c + tail_bnd
-        i3out_conv = i3out_c + tail_out
-
-        # not converged: accumulate order IG (src/SOS_OS.F:1343-1363)
         active = (~done) & (~conv)
-        i3_acc = i3_c + g1
-        i3out_acc = i3out_c + new
 
-        i3_n = jnp.where(conv, i3_conv, jnp.where(active, i3_acc, i3_c))
-        i3out_n = jnp.where(conv, i3out_conv,
-                            jnp.where(active, i3out_acc, i3out_c))
+        # converged: add the geometric tail, stop (src/SOS_OS.F:1299-1315);
+        # not converged: accumulate order IG (src/SOS_OS.F:1343-1363)
+        i3_n = jnp.where(conv, i3_c + _queue(d1_c, g1),
+                         jnp.where(active, i3_c + g1, i3_c))
+        if opt.use_zout:
+            acc_n = jnp.where(conv, acc_c + _queue(d1out_c, new),
+                              jnp.where(active, acc_c + new, acc_c))
+            d1out_n = jnp.where(active, new, d1out_c)
+        else:
+            acc_n, d1out_n = acc_c, d1out_c
 
         # stop tests on the order-IG magnitude (src/SOS_OS.F:1368-1406)
-        z_abs = jnp.max(jnp.abs(g1))
-        stop_abs = z_abs <= opt.seuil_valdif
+        stop_abs = jnp.max(jnp.abs(g1)) <= opt.seuil_valdif
         z_rel = jnp.max(jnp.where(i3_n != 0.0,
                                   jnp.abs(_safe_div(g1, i3_n)), 0.0))
         stop_rel = z_rel <= opt.seuil_sumdif
         done_n = done | conv | (active & (stop_abs | stop_rel))
 
-        fld_n = jnp.where(active, new, fld)
+        # once done, further iterates are masked out of every accumulator,
+        # so the field may advance unconditionally (no (NT+1, W) select)
         a1_n = jnp.where(active, d1_c, a1_c)
         d1_n = jnp.where(active, g1, d1_c)
-        d1out_n = jnp.where(active, new, d1out_c)
-        return (fld_n, i3_n, i3out_n, a1_n, d1_n, d1out_n, done_n), None
+        return (new, i3_n, a1_n, d1_n, acc_n, d1out_n, done_n), None
 
-    init = (field, i3, i3out, a1, d1, d1out, jnp.asarray(False))
+    init = (field, i3, a1, d1, acc, d1out, jnp.asarray(False))
     igs = jnp.arange(2, opt.igmax + 1)
-    (field, i3, i3out, a1, d1, d1out, done), _ = lax.scan(body, init, igs)
+    (field, i3, a1, d1, acc, d1out, done), _ = lax.scan(body, init, igs)
 
     # remove the stored direct-reflection term (src/SOS_OS.F:1421-1439)
     if opt.imat_surf:
-        i3out = i3out.at[..., n + 1:].add(-rii_out_up)
-        i3 = i3.at[..., n + 1:].add(-rii_out_up[0])
-    return i3, i3out
+        if opt.use_zout:
+            acc = acc.at[:, :hp].add(-rii_full)
+            i3 = i3.at[:hp].add(-rii_full[0])
+        else:
+            i3 = i3.at[:hp].add(-rii0)
+    return i3, (acc if opt.use_zout else jnp.zeros((1, 1), h.dtype))
 
 
 def solve_fourier(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
@@ -486,7 +547,15 @@ def solve_fourier_batch(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
     t_n = inp.h.shape[0]
     n_s = inp.k_aer.shape[0]
     n = inp.mu_pos.shape[0]
+    hp = _half_pad(n)
     is0 = jnp.zeros((n_s,), dtype=inp.h.dtype).at[0].set(1.0)
+
+    # flat operators, built once per solve (Gauss weights + 1/2 folded in)
+    m_aer = _flat_operator(inp.k_aer, inp.w_pos)
+    m_mol = _flat_operator(inp.k_mol, inp.w_pos)
+    mboth = jnp.concatenate([m_aer, m_mol], axis=-1)     # (S, W, 2W)
+    col_a = _flat_solar_col(inp.k_aer)                   # (S, W)
+    col_m = _flat_solar_col(inp.k_mol)
 
     if inp.surface.rmat is not None:
         rmat = inp.surface.rmat
@@ -502,37 +571,38 @@ def solve_fourier_batch(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
             h=inp.h[t_idx], xdel=inp.xdel[t_idx], ydel=inp.ydel[t_idx],
             tab=inp.tab[t_idx] if tab_batched else inp.tab,
             zprof=None if inp.zprof is None else inp.zprof[t_idx])
-        return _solve_one_order(inp.k_aer[s_idx], inp.k_mol[s_idx],
+        return _solve_one_order(mboth[s_idx], col_a[s_idx], col_m[s_idx],
+                                inp.k_aer[s_idx], inp.k_mol[s_idx],
                                 rmat[s_idx], is0[s_idx], inner, opt)
 
-    i3, i3out = jax.vmap(one)(tt.ravel(), ss.ravel())
-    d = 2 * n + 1
-    i3 = i3.reshape(t_n, n_s, 3, d)
-    i3out = i3out.reshape((t_n, n_s) + i3out.shape[1:])
+    i3, acc = jax.vmap(one)(tt.ravel(), ss.ravel())
+    i3 = i3.reshape(t_n, n_s, 2 * hp)
 
     # diffuse fluxes at IS = 0 (src/SOS_OS.F:1447-1456), per term
-    i3_0 = i3[:, 0]                                  # (T, 3, D)
-    dn0 = down_view(i3_0)                            # (T, 3, N)
-    up0 = up_view(i3_0)
+    i3_0 = i3[:, 0]                                  # (T, W)
+    up0 = i3_0[:, :n]                                # I rows of each half
+    dn0 = i3_0[:, hp:hp + n]
     wmu = inp.mu_pos * inp.w_pos
-    emoins = -2.0 / inp.tab * jnp.sum(wmu * dn0[:, 0], axis=-1)
-    eplus = -2.0 / inp.tab * jnp.sum(wmu * up0[:, 0], axis=-1)
+    tab_f = inp.tab if tab_batched else jnp.broadcast_to(inp.tab, (t_n,))
+    emoins = -2.0 / tab_f * jnp.sum(wmu * dn0, axis=-1)
+    eplus = -2.0 / tab_f * jnp.sum(wmu * up0, axis=-1)
+
+    i3bnd = _signed_from_flat(i3, n)                 # (T, S, 3, D)
 
     if opt.use_zout:
         # arbitrary output altitude: both hemispheres interpolated at the
         # bracketing profile levels (src/SOS_OS.F:1511-1534)
-        i3z, tauout = jax.vmap(interp_zout, in_axes=(0, 0, 0, None))(
-            i3out, inp.zprof, inp.h, inp.zout_km)
+        acc = acc.reshape((t_n, n_s) + acc.shape[1:])
+        i3z_flat, tauout = jax.vmap(interp_zout, in_axes=(0, 0, 0, None))(
+            acc, inp.zprof, inp.h, inp.zout_km)
+        i3z = _signed_from_flat(i3z_flat, n)
     else:
-        # default: TOA for up, ground for down (src/SOS_OS.F:1484-1506)
-        mask_up = jnp.arange(d) > n
-        i3z = jnp.where(mask_up, i3out[:, :, 0], i3out[:, :, -1])
+        # default: TOA for up, ground for down (src/SOS_OS.F:1484-1506) —
+        # exactly the convergence-boundary accumulator
+        i3z = i3bnd
         tauout = jnp.zeros((t_n,), dtype=i3z.dtype)
-    return FourierResult(i3z=i3z, i3bnd=i3, emoins=emoins, eplus=eplus,
+    return FourierResult(i3z=i3z, i3bnd=i3bnd, emoins=emoins, eplus=eplus,
                          tauout=tauout)
-
-
-from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnames=("opt",))
@@ -541,16 +611,17 @@ def solve_fourier_jit(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
     return solve_fourier(inp, opt)
 
 
-def interp_zout(i3out, zprof, h, zout):
+def interp_zout(acc, zprof, h, zout):
     """Radiance and optical depth at an arbitrary output altitude.
 
-    Linear interpolation between the two bracketing profile levels
-    (``src/SOS_OS.F:1511-1534``, ``src/SOS.F:570-585``).
+    ``acc``: (S, NT+1, W) accumulated flat field.  Linear interpolation
+    between the two bracketing profile levels (``src/SOS_OS.F:1511-1534``,
+    ``src/SOS.F:570-585``).
     """
     j = jnp.searchsorted(-zprof, -zout, side="left")
     j = jnp.clip(j, 1, zprof.shape[0] - 1)
     zz = (zout - zprof[j - 1]) / (zprof[j] - zprof[j - 1])
-    i3z = (1.0 - zz) * i3out[:, j - 1] + zz * i3out[:, j]
+    i3z = (1.0 - zz) * acc[:, j - 1] + zz * acc[:, j]
     tauout = (1.0 - zz) * h[j - 1] + zz * h[j]
     return i3z, tauout
 
