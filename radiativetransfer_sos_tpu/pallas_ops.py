@@ -1,0 +1,159 @@
+"""Pallas TPU kernels for the SOS hot path.
+
+The layer sweep (reference ``SOS_INTEGR_EPOPT``, ``src/SOS_OS.F:2222``) is a
+first-order affine recurrence over NT ~ 600 optical-depth levels.  XLA's
+``associative_scan`` evaluates it in ~log2(NT) full passes over HBM, which
+makes it the dominant cost of the whole solver once the field layout is
+lane-aligned.  The kernels here perform the recurrence *sequentially in
+VMEM*: one HBM read of the per-layer affine coefficients, one HBM write of
+the integrated field — the bandwidth-optimal schedule.
+
+Batch layout: instances ride the sublane axis (B = 8 per block, the native
+tile height).  Global arrays are (NT, TS, HP) so one level-slice of a block
+is a native (8, HP) tile row and the per-level loop runs at full VPU width.
+The level axis is split into grid chunks with the recurrence carry held in
+VMEM scratch across sequential grid steps (chunks of one instance block are
+consecutive; the up-sweep kernel walks its chunks in reverse via the block
+index map).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK = 8          # instances per block = sublane tile height
+_CHUNK = 256        # levels per grid step
+_UNROLL = 8         # levels per loop iteration (amortizes loop overhead)
+
+
+def _dn_kernel(att_ref, bd_ref, out_ref, carry):
+    """Forward (TOA -> ground) recurrence over one level chunk.
+
+    att/bd/out blocks: (CH, 8, HP); carry scratch: (1, 8, HP), persists
+    across the sequential chunk grid steps of one instance block.
+    """
+    ch = att_ref.shape[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    def body(i, c):
+        base = i * _UNROLL
+        for u in range(_UNROLL):
+            c = att_ref[pl.ds(base + u, 1)] * c + bd_ref[pl.ds(base + u, 1)]
+            out_ref[pl.ds(base + u, 1)] = c
+        return c
+
+    carry[:] = lax.fori_loop(0, ch // _UNROLL, body, carry[:])
+
+
+def _up_kernel(att_ref, bu_ref, bc_ref, out_ref, carry):
+    """Backward (ground -> TOA) recurrence over one level chunk.
+
+    Blocks as in ``_dn_kernel`` but the index maps feed chunks in reverse
+    level order; ``bc_ref``: (8, HP) ground boundary."""
+    ch = att_ref.shape[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        carry[:] = bc_ref[:].reshape(carry.shape)
+
+    def body(k, c):
+        base = ch - (k + 1) * _UNROLL
+        for u in range(_UNROLL):
+            i = base + (_UNROLL - 1 - u)
+            c = att_ref[pl.ds(i, 1)] * c + bu_ref[pl.ds(i, 1)]
+            out_ref[pl.ds(i, 1)] = c
+        return c
+
+    carry[:] = lax.fori_loop(0, ch // _UNROLL, body, carry[:])
+
+
+def _pad_axis(x, axis, target, value=0.0):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - x.shape[axis])
+    return jnp.pad(x, pad, constant_values=value)
+
+
+@jax.jit
+def sweep_flat_batched(h_b, muh, src_b, bc_b):
+    """Batched flat-field sweep on TPU (see ``solver._sweep_flat``).
+
+    ``h_b``: (TS, NT+1) cumulative optical depths; ``muh``: (HP,) direction
+    cosines of one hemisphere block (pad slots 1); ``src_b``: (TS, NT+1, W)
+    flat sources; ``bc_b``: (TS, HP) upward ground boundary.  Returns the
+    integrated field (TS, NT+1, W).
+
+    The affine step coefficients (linear-in-tau source integration,
+    ``src/SOS_OS.F:2279-2354``) are produced by fused XLA elementwise ops in
+    the sublane-major layout; the recurrences run in the Pallas kernels.
+    """
+    ts, ntp1, w = src_b.shape
+    hp = w // 2
+    nt = ntp1 - 1
+    dtype = src_b.dtype
+
+    h_t = jnp.swapaxes(h_b, 0, 1)                    # (NT+1, TS)
+    dtau = (h_t[1:] - h_t[:-1])[:, :, None]          # (NT, TS, 1)
+    pos = dtau > 0.0
+    safe = jnp.where(pos, dtau, 1.0)
+    att = jnp.exp(-dtau / muh[None, None, :])        # (NT, TS, HP)
+    src_t = jnp.swapaxes(src_b, 0, 1)                # (NT+1, TS, W)
+    su, sd = src_t[:, :, :hp], src_t[:, :, hp:]
+    al_u = jnp.where(pos, (su[1:] - su[:-1]) / safe, 0.0)
+    al_d = jnp.where(pos, (sd[1:] - sd[:-1]) / safe, 0.0)
+    # zero-thickness padding layers are identity steps (att = 1, b = 0)
+    bu = (1.0 - att) * (al_u * muh + su[:-1]) - al_u * att * dtau
+    bd = (1.0 - att) * (-al_d * muh + sd[1:]) + al_d * att * dtau
+
+    # pad instances to the sublane block and levels to the chunk size;
+    # padding levels are identity steps appended after the ground (down
+    # sweep: trailing no-ops; up sweep: leading no-ops on the reversed walk)
+    ch = min(_CHUNK, ((nt + _UNROLL - 1) // _UNROLL) * _UNROLL) if nt else 1
+    tsp = ((ts + _BLOCK - 1) // _BLOCK) * _BLOCK
+    ntp = ((nt + ch - 1) // ch) * ch
+    att = _pad_axis(_pad_axis(att, 1, tsp), 0, ntp, 1.0)
+    bu = _pad_axis(_pad_axis(bu, 1, tsp), 0, ntp)
+    bd = _pad_axis(_pad_axis(bd, 1, tsp), 0, ntp)
+    bc = _pad_axis(bc_b, 0, tsp)
+
+    nb, nc = tsp // _BLOCK, ntp // ch
+    level_blk = pl.BlockSpec((ch, _BLOCK, hp), lambda g, c: (c, g, 0),
+                             memory_space=pltpu.VMEM)
+    level_blk_rev = pl.BlockSpec(
+        (ch, _BLOCK, hp), lambda g, c, _nc=nc: (_nc - 1 - c, g, 0),
+        memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((1, _BLOCK, hp), dtype)]
+
+    dn = pl.pallas_call(
+        _dn_kernel, grid=(nb, nc),
+        in_specs=[level_blk, level_blk],
+        out_specs=level_blk,
+        out_shape=jax.ShapeDtypeStruct((ntp, tsp, hp), dtype),
+        scratch_shapes=scratch,
+    )(att, bd)
+
+    up = pl.pallas_call(
+        _up_kernel, grid=(nb, nc),
+        in_specs=[level_blk_rev, level_blk_rev,
+                  pl.BlockSpec((_BLOCK, hp), lambda g, c: (g, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=level_blk_rev,
+        out_shape=jax.ShapeDtypeStruct((ntp, tsp, hp), dtype),
+        scratch_shapes=scratch,
+    )(att, bu, bc)
+
+    # assemble (NT+1, TSP, W): up rows are levels 0..NT-1 + bc at ground;
+    # down rows are zero at TOA + levels 1..NT
+    up_full = jnp.concatenate([up[:nt], bc[None]], axis=0)
+    dn_full = jnp.concatenate([jnp.zeros((1, tsp, hp), dtype), dn[:nt]],
+                              axis=0)
+    out = jnp.concatenate([up_full, dn_full], axis=-1)
+    return jnp.swapaxes(out[:, :ts], 0, 1)

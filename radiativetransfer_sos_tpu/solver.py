@@ -208,7 +208,7 @@ def _affine_compose(prev, nxt):
     return a1 * a2, b1 * a2 + b2
 
 
-def _sweep_flat(h, mu_half, src, bc_up):
+def _sweep_flat_scan(h, mu_half, src, bc_up):
     """Integrate both hemispheres of the flat field in one pass.
 
     ``src``: (NT+1, W) flat source, ``bc_up``: (HP,) upward ground boundary.
@@ -241,6 +241,35 @@ def _sweep_flat(h, mu_half, src, bc_up):
     return jnp.concatenate([up, dn], axis=1)
 
 
+@jax.custom_batching.custom_vmap
+def _sweep_flat(h, mu_half, src, bc_up):
+    """Flat-field sweep; on TPU the *batched* form (one instance per
+    (term, Fourier-order) pair under ``vmap``) dispatches to the Pallas
+    sequential-recurrence kernel (``pallas_ops.sweep_flat_batched``), which
+    replaces the associative scan's ~log2(NT) HBM passes with one."""
+    return _sweep_flat_scan(h, mu_half, src, bc_up)
+
+
+@_sweep_flat.def_vmap
+def _sweep_flat_vmap(axis_size, in_batched, h, mu_half, src, bc_up):
+    hb, mb, sb, bb = in_batched
+    if mb:  # mu_half is shared across instances in every caller
+        mu_half = mu_half[0]
+    if not hb:
+        h = jnp.broadcast_to(h, (axis_size,) + h.shape)
+    if not sb:
+        src = jnp.broadcast_to(src, (axis_size,) + src.shape)
+    if not bb:
+        bc_up = jnp.broadcast_to(bc_up, (axis_size,) + bc_up.shape)
+    if jax.default_backend() == "tpu" and src.dtype == jnp.float32:
+        from . import pallas_ops
+        out = pallas_ops.sweep_flat_batched(h, mu_half, src, bc_up)
+    else:
+        out = jax.vmap(_sweep_flat_scan, in_axes=(0, None, 0, 0))(
+            h, mu_half, src, bc_up)
+    return out, True
+
+
 # ---------------------------------------------------------------------------
 # Source functions
 # ---------------------------------------------------------------------------
@@ -248,14 +277,16 @@ def _sweep_flat(h, mu_half, src, bc_up):
 def _scatter_flat(mboth, xdel, ydel, field):
     """Order-IG source from the order-(IG-1) field (SOS_FSOURCE_ORDREIG).
 
-    One aligned matmul on the MXU: ``mboth`` is (W, 2W) = [M_aer | M_mol]
-    from ``_flat_operator`` (weights and the 1/2 folded in), mixed per level
-    with the aerosol/molecular scattering fractions
-    (``src/SOS_OS.F:2859-2905``).
+    One aligned matmul on the MXU: ``mboth`` is (2W, W) = [M_aer; M_mol]
+    stacked along the contraction axis (built by ``_flat_operator``, Gauss
+    weights and the 1/2 folded in).  The per-level aerosol/molecular mixing
+    fractions (``src/SOS_OS.F:2859-2905``) scale the *input* side —
+    ``[xdel*f | ydel*f] @ [M_aer; M_mol]`` — so the elementwise mix fuses
+    into the matmul operand and the output is written once at width W.
     """
-    w = mboth.shape[0]
-    out = jnp.matmul(field, mboth, preferred_element_type=field.dtype)
-    return xdel[:, None] * out[:, :w] + ydel[:, None] * out[:, w:]
+    f2 = jnp.concatenate([xdel[:, None] * field, ydel[:, None] * field],
+                         axis=-1)
+    return jnp.matmul(f2, mboth, preferred_element_type=field.dtype)
 
 
 def _primary_flat(col_a, col_m, xdel, ydel, h, tab):
@@ -433,7 +464,7 @@ def _solve_one_order(mboth, col_a, col_m, k_aer_s, k_mol_s, rmat_s, is0,
     h, xdel, ydel = inp.h, inp.xdel, inp.ydel
     mu = inp.mu_pos
     n = mu.shape[0]
-    hp = mboth.shape[0] // 2
+    hp = mboth.shape[1] // 2
     muh = _mu_half(mu, hp, h.dtype)
 
     # ----- order IG = 1 -----
@@ -473,8 +504,12 @@ def _solve_one_order(mboth, col_a, col_m, k_aer_s, k_mol_s, rmat_s, is0,
         acc = None
         d1out = None
 
-    def body(carry, ig):
-        (fld, i3_c, a1_c, d1_c, acc_c, d1out_c, done) = carry
+    def cond(carry):
+        (ig, fld, i3_c, a1_c, d1_c, acc_c, d1out_c, done) = carry
+        return (~done) & (ig <= opt.igmax)
+
+    def body(carry):
+        (ig, fld, i3_c, a1_c, d1_c, acc_c, d1out_c, done) = carry
 
         src = _scatter_flat(mboth, xdel, ydel, fld)
         bc = _surface_reflect_flat(fld[-1, hp:], inp, opt, rmat_s, is0, hp)
@@ -508,11 +543,16 @@ def _solve_one_order(mboth, col_a, col_m, k_aer_s, k_mol_s, rmat_s, is0,
         # so the field may advance unconditionally (no (NT+1, W) select)
         a1_n = jnp.where(active, d1_c, a1_c)
         d1_n = jnp.where(active, g1, d1_c)
-        return (new, i3_n, a1_n, d1_n, acc_n, d1out_n, done_n), None
+        return (ig + 1, new, i3_n, a1_n, d1_n, acc_n, d1out_n, done_n)
 
-    init = (field, i3, a1, d1, acc, d1out, jnp.asarray(False))
-    igs = jnp.arange(2, opt.igmax + 1)
-    (field, i3, a1, d1, acc, d1out, done), _ = lax.scan(body, init, igs)
+    # while_loop, not a fixed-trip scan: the scattering series typically
+    # converges in 5-30 orders (IGMAX defaults to 100,
+    # src/SOS_PROC.F / inc/SOS.h:383) — under vmap the loop runs until the
+    # slowest instance in the batch is done, the rest stay masked
+    init = (jnp.asarray(2, dtype=jnp.int32), field, i3, a1, d1, acc, d1out,
+            jnp.asarray(False))
+    (_, field, i3, a1, d1, acc, d1out, done) = lax.while_loop(
+        cond, body, init)
 
     # remove the stored direct-reflection term (src/SOS_OS.F:1421-1439)
     if opt.imat_surf:
@@ -553,7 +593,7 @@ def solve_fourier_batch(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
     # flat operators, built once per solve (Gauss weights + 1/2 folded in)
     m_aer = _flat_operator(inp.k_aer, inp.w_pos)
     m_mol = _flat_operator(inp.k_mol, inp.w_pos)
-    mboth = jnp.concatenate([m_aer, m_mol], axis=-1)     # (S, W, 2W)
+    mboth = jnp.concatenate([m_aer, m_mol], axis=-2)     # (S, 2W, W)
     col_a = _flat_solar_col(inp.k_aer)                   # (S, W)
     col_m = _flat_solar_col(inp.k_mol)
 
