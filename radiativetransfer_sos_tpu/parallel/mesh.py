@@ -20,6 +20,7 @@ all-reduce of the weighted sum) over ICI.
 
 from __future__ import annotations
 
+import functools as _functools
 from functools import partial
 
 import jax
@@ -112,3 +113,70 @@ def aggregate_tau(weights, tau_batch):
     """Optical-depth aggregation in transmission space:
     tau = -ln(sum_i w_i exp(-tau_i)) (``src/SOS_AGGREGATE.F:466-488``)."""
     return -jnp.log(jnp.sum(weights * jnp.exp(-tau_batch)))
+
+
+# ---------------------------------------------------------------------------
+# CKD-term sharding of the production pipeline (used by proc.run)
+# ---------------------------------------------------------------------------
+
+def pad_terms(n_terms: int, n_shards: int) -> int:
+    """Terms padded so the CKD batch divides the scene axis."""
+    return ((n_terms + n_shards - 1) // n_shards) * n_shards
+
+
+def solve_terms_sharded(mesh: Mesh, inp: solver.SolveInputs,
+                        opt: solver.SolveOptions):
+    """``solver.solve_fourier_batch`` with the CKD-term axis sharded.
+
+    Each device runs the flattened (local-terms x Fourier-order) solve on
+    its slice of the term batch — the embarrassingly parallel axis of
+    SURVEY §2; kernels and surface matrices are replicated (they are shared
+    by every term).  The term count must divide the 'scene' axis (pad with
+    AIK-weight-0 duplicates via :func:`pad_terms`).
+    """
+    n_scene = mesh.shape["scene"]
+    if inp.h.shape[0] % n_scene:
+        raise ValueError(
+            f"term count {inp.h.shape[0]} must divide scene axis {n_scene}")
+    n0 = inp.n0
+    flags = (inp.surface.rmat is None, inp.surface.f11 is None,
+             inp.surface.f12 is None, inp.surface.f33 is None,
+             inp.surface.ind_surf is None, inp.zprof is None,
+             inp.zout_km is None, jnp.ndim(inp.tab) == 1)
+    fn = _sharded_solver(mesh, opt, n0, flags)
+    return fn(inp._replace(n0=None))
+
+
+@_functools.lru_cache(maxsize=None)
+def _sharded_solver(mesh, opt, n0, flags):
+    """Jitted shard_map solver, cached on (mesh, options, input structure)."""
+    (no_rmat, no_f11, no_f12, no_f33, no_ind, no_zprof, no_zout,
+     tab_batched) = flags
+    from jax.sharding import PartitionSpec as P
+
+    term = P("scene")
+    term_l = P("scene", None)
+    rep = P()
+
+    surf_specs = solver.SurfaceInputs(
+        rho=rep,
+        rmat=None if no_rmat else rep,
+        f11=None if no_f11 else rep,
+        f12=None if no_f12 else rep,
+        f33=None if no_f33 else rep,
+        ind_surf=None if no_ind else rep)
+    in_specs = solver.SolveInputs(
+        h=term_l, xdel=term_l, ydel=term_l,
+        k_aer=rep, k_mol=rep, mu_pos=rep, w_pos=rep,
+        tab=term if tab_batched else rep,
+        n0=None, surface=surf_specs,
+        zprof=None if no_zprof else term_l,
+        zout_km=None if no_zout else rep)
+    out_specs = solver.FourierResult(
+        i3z=term, i3bnd=term, emoins=term, eplus=term, tauout=term)
+
+    def local(local_inp):
+        return solver.solve_fourier_batch(local_inp._replace(n0=n0), opt)
+
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(in_specs,),
+                                 out_specs=out_specs, check_vma=False))

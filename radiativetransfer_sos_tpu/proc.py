@@ -392,11 +392,15 @@ def _transmissions(lum, hs, xds, yds, k_aer, k_mol, aik, igmax, ipolar):
     return float(tdif[0]), tdif[1:]
 
 
-def run(cfg: SosConfig, trace=None) -> SosResults:
+def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
     """The full pipeline: properties -> batched CKD solve -> aggregation.
 
     ``trace``: optional :class:`tracing.Trace` collecting per-stage timers
     and events (the reference's -*.Log narration, SURVEY.md §5).
+    ``mesh``: optional :class:`jax.sharding.Mesh` with a ``scene`` axis —
+    the CKD-term batch is sharded over it (terms padded with AIK-weight-0
+    duplicates to divide the axis) and the AIK aggregation reduces across
+    devices; see ``parallel.solve_terms_sharded``.
     """
     if trace is None:
         from .tracing import NullTrace
@@ -530,6 +534,20 @@ def run(cfg: SosConfig, trace=None) -> SosResults:
                               ifresnel=ifresnel, ipolar=cfg.ipolar,
                               use_zout=use_zout)
 
+    n_solved = n_terms
+    if mesh is not None:
+        # pad the term batch with weight-0 duplicates so it divides the
+        # scene axis; the padded solves are discarded by the aggregation
+        from .parallel import pad_terms
+        n_solved = pad_terms(n_terms, mesh.shape["scene"])
+        pad = n_solved - n_terms
+        if pad:
+            hs = np.concatenate([hs, np.repeat(hs[:1], pad, axis=0)])
+            xds = np.concatenate([xds, np.repeat(xds[:1], pad, axis=0)])
+            yds = np.concatenate([yds, np.repeat(yds[:1], pad, axis=0)])
+            zprofs = np.concatenate([zprofs,
+                                     np.repeat(zprofs[:1], pad, axis=0)])
+
     inp = solver.SolveInputs(
         h=jnp.asarray(hs), xdel=jnp.asarray(xds), ydel=jnp.asarray(yds),
         k_aer=k_aer, k_mol=k_mol, mu_pos=jnp.asarray(lum.mu),
@@ -538,10 +556,16 @@ def run(cfg: SosConfig, trace=None) -> SosResults:
         zprof=jnp.asarray(zprofs) if use_zout else None,
         zout_km=jnp.asarray(float(cfg.view.zout_km)) if use_zout else None)
     with trace.stage("solve"):
-        res = _solve_batch(inp, opt, n_terms)
+        if mesh is not None:
+            from .parallel import solve_terms_sharded
+            res = solve_terms_sharded(mesh, inp, opt)
+        else:
+            res = _solve_batch(inp, opt, n_terms)
         res = jax.tree_util.tree_map(
             lambda x: x.block_until_ready() if hasattr(
                 x, "block_until_ready") else x, res)
+        if n_solved != n_terms:   # drop the padded terms
+            res = jax.tree_util.tree_map(lambda x: x[:n_terms], res)
 
     # --- aggregation (C18): AIK-weighted contraction over the batch axis
     i3z = np.asarray(res.i3z)               # (terms, S, 3, D)
@@ -644,7 +668,7 @@ def trphi_option(cfg: SosConfig, res: SosResults) -> SosResults:
     return res
 
 
-def sos_run(cfg: SosConfig, trace=None) -> SosResults:
+def sos_run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
     """run + view recomposition in one call (the SOS_PROC surface).
 
     When the config carries a ``-SOS_Main.Log`` io entry and no tracer is
@@ -658,7 +682,7 @@ def sos_run(cfg: SosConfig, trace=None) -> SosResults:
             trace = Trace(logfile=logfile)
             own = True
     try:
-        res = trphi_option(cfg, run(cfg, trace))
+        res = trphi_option(cfg, run(cfg, trace, mesh=mesh))
     except Exception:
         if own:
             trace.close(ok=False)
