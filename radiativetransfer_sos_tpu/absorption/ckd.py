@@ -110,15 +110,19 @@ def _parse_gas_file(path: str, is_h2o: bool):
 
 
 def load_ckd(nu: float, step: int, gases_on: np.ndarray | None = None,
-             root: str | None = None) -> CkdTables:
+             root: str | None = None,
+             allow_missing: bool = False) -> CkdTables:
     """Load the CKD tables of all 8 gases for the window containing ``nu``.
 
     ``gases_on``: 8 booleans mirroring the CTE_ABS_* compile flags (all on
-    by default, matching ``inc/SOS.h:245-268``).  A species whose data file
-    is absent from the data root is recorded in ``missing`` and treated as
-    transparent — the reference would abort; this snapshot of the data tree
-    lacks some large H2O files, so degrading to transparent keeps the rest
-    of the spectrum usable (caller may choose to raise).
+    by default, matching ``inc/SOS.h:245-268``).  A species selected for
+    simulation whose data file is absent from the data root is a HARD ERROR
+    by default, matching the reference abort on a failed table open
+    (``src/SOS_SUB_TRS.F:706-707``, ``ERR=910``; only not-simulated species
+    fall back to the transparent JABS=0 branch, ``:586-614``).  This data
+    snapshot lacks some large H2O files (``.MISSING_LARGE_BLOBS``);
+    ``allow_missing=True`` is the explicit escape hatch that records the
+    species in ``missing`` and treats it as transparent instead.
     """
     if step not in (1, 5, 10):
         raise ValueError("CKD step must be 1, 5 or 10 cm-1")
@@ -148,6 +152,12 @@ def load_ckd(nu: float, step: int, gases_on: np.ndarray | None = None,
                 f"{step}cmm1")
         path = os.path.join(root, "COEFF_CKD", f"{step}cmm1", name)
         if not os.path.exists(path) or os.path.getsize(path) == 0:
+            if not allow_missing:
+                raise FileNotFoundError(
+                    f"CKD table for simulated gas {GAS_FILE_PREFIX[g]} "
+                    f"absent or empty: {path} (the reference aborts on a "
+                    "missing table, src/SOS_SUB_TRS.F:706-707; pass "
+                    "allow_missing=True to treat the gas as transparent)")
             missing.append(GAS_FILE_PREFIX[g])
             continue
         d = _parse_gas_file(path, is_h2o=(g == 0))

@@ -97,7 +97,9 @@ DEFAULT_OS_NB = 80
 DEFAULT_OS_NS = 48
 DEFAULT_OS_NM = 128
 NBMAX_USER_ANGLES = 20
+NBMU_USER_MAX = NBMAX_USER_ANGLES
 OS_NBMU_MAX = 80              # static angle-table bound (inc/SOS.h:471)
+MIE_NBMU_MAX = 100            # Mie angle-table bound (inc/SOS.h:457)
 SEUIL_ECART_MUS = 1.0e-5      # solar-angle coincidence threshold
 
 GAS_NAMES = ("H2O", "CO2", "O3", "N2O", "CO", "CH4", "O2", "NO2")

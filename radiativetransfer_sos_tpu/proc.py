@@ -441,7 +441,10 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
     trace_abs = trace.stage("absorption"); trace_abs.__enter__()
     if use_abs:
         nu = 1.0e4 / cfg.wavelength
-        tables = load_ckd(nu, cfg.absorption.resolution)
+        tables = load_ckd(nu, cfg.absorption.resolution,
+                          allow_missing=cfg.absorption.allow_missing_gas)
+        if tables.missing:
+            trace.event("ckd", missing_gases=list(tables.missing))
         lamb = tables.band_index(nu)
         o3 = cfg.absorption.o3
         cols = gas_columns(cfg.absorption.absprofil,

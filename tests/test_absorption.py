@@ -116,3 +116,21 @@ def test_tau_abs_mode2_bounds():
     assert np.all(tau2 >= tau_all.min(axis=0) - 1e-12)
     assert np.all(tau2 <= tau_all.max(axis=0) + 1e-12)
     assert tau2[0] == 0.0
+
+
+@needs_data
+def test_load_ckd_missing_gas_raises():
+    """The 910 nm demo window lacks its H2O table in this data snapshot
+    (.MISSING_LARGE_BLOBS); the loader must abort like the reference
+    (src/SOS_SUB_TRS.F:706-707) unless explicitly downgraded."""
+    nu_910 = 1.0e4 / 0.910                    # window [10500, 11000]
+    with pytest.raises(FileNotFoundError, match="H2O"):
+        load_ckd(nu_910, 10)
+    t = load_ckd(nu_910, 10, allow_missing=True)
+    assert "H2O" in t.missing
+    lamb = t.band_index(nu_910)
+    # the downgraded gas behaves like the JABS=0 branch: 1 exponential,
+    # ai = 1, ki = 0 (src/SOS_SUB_TRS.F:586-614)
+    assert t.nexp[0, lamb] == 1
+    assert t.ai[0, 0, lamb] == 1.0
+    assert np.all(t.ki_h2o == 0.0)
