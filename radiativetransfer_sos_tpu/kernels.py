@@ -57,8 +57,12 @@ def _pair(f, coef, g):
     coef = jnp.asarray(coef)
     if coef.ndim == 1:
         coef = coef[None, :]
+    # precision: a TPU f32 einsum multiplies in bfloat16 by default; the
+    # OS_NB ~ 80-term Legendre contraction would lose ~2-3 digits in the
+    # kernels that seed every scattering order (precision.py gate)
     return jnp.einsum("sla,sl,slb->sab", f, coef, g,
-                      preferred_element_type=f.dtype)
+                      preferred_element_type=f.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def block_kernel(psl, rsl, tsl, alpha, beta, gamma, zeta):
@@ -83,8 +87,19 @@ def block_kernel(psl, rsl, tsl, alpha, beta, gamma, zeta):
     return jnp.stack([row0, row1, row2], axis=1)
 
 
-def aerosol_kernel(psl, rsl, tsl, alpha, beta, gamma, zeta):
-    """Aerosol phase operator for every Fourier order (S, 3, 3, D, D)."""
+def aerosol_kernel(psl, rsl, tsl, alpha, beta, gamma, zeta,
+                   ipolar: bool = True):
+    """Aerosol phase operator for every Fourier order (S, 3, 3, D, D).
+
+    With ``ipolar`` False the polarized expansion coefficients are cut
+    like the reference's atmospheric polarization cutoff
+    (``src/SOS_OS.F:687-699`` zeroes ALPHA/GAMMA/ZETA too, not only the
+    molecular gamma2/alpha2).
+    """
+    if not ipolar:
+        alpha = np.zeros_like(np.asarray(alpha))
+        gamma = np.zeros_like(np.asarray(gamma))
+        zeta = np.zeros_like(np.asarray(zeta))
     return block_kernel(psl, rsl, tsl, alpha, beta, gamma, zeta)
 
 

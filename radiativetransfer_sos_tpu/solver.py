@@ -83,6 +83,10 @@ class SolveInputs(NamedTuple):
     surface: SurfaceInputs = SurfaceInputs(rho=0.0)
     zprof: Optional[jnp.ndarray] = None   # (NT+1,) level altitudes (km)
     zout_km: Optional[jnp.ndarray] = None  # scalar output altitude
+    # (S,) indicator of the absolute Fourier order 0 (1.0 at IS = 0, else
+    # 0.0); None = the leading kernel slice is order 0.  Lets a caller
+    # dispatch a sub-range of orders (solve_fourier_blocked)
+    is0: Optional[jnp.ndarray] = None
 
 
 class SolveOptions(NamedTuple):
@@ -286,7 +290,13 @@ def _scatter_flat(mboth, xdel, ydel, field):
     """
     f2 = jnp.concatenate([xdel[:, None] * field, ydel[:, None] * field],
                          axis=-1)
-    return jnp.matmul(f2, mboth, preferred_element_type=field.dtype)
+    # HIGHEST precision: the default TPU f32 matmul multiplies in bfloat16,
+    # whose error compounds over the ~30-order scattering recursion (f32
+    # drift vs f64 measured at demo shape: 3e1 default vs 6e-4 highest —
+    # precision.py gate); the solve is not MXU-bound at these widths, so
+    # the multi-pass f32 matmul costs nothing end to end
+    return jnp.matmul(f2, mboth, preferred_element_type=field.dtype,
+                      precision=lax.Precision.HIGHEST)
 
 
 def _primary_flat(col_a, col_m, xdel, ydel, h, tab):
@@ -388,7 +398,8 @@ def _surface_reflect_flat(ground_dn, inp: SolveInputs, opt: SolveOptions,
     lsol = 2.0 * rho * jnp.sum(w * mu * gd[0]) * is0
     bc = jnp.zeros_like(gd).at[0].set(lsol)
     if opt.imat_surf:
-        v = jnp.einsum("xyjk,yj->xk", rmat_s, gd * w)
+        v = jnp.einsum("xyjk,yj->xk", rmat_s, gd * w,
+                       precision=lax.Precision.HIGHEST)
         bc = bc + 2.0 * v / mu
     if opt.ifresnel:
         f11 = inp.surface.f11[1:]
@@ -532,8 +543,12 @@ def _solve_one_order(mboth, col_a, col_m, k_aer_s, k_mol_s, rmat_s, is0,
         else:
             acc_n, d1out_n = acc_c, d1out_c
 
-        # stop tests on the order-IG magnitude (src/SOS_OS.F:1368-1406)
-        stop_abs = jnp.max(jnp.abs(g1)) <= opt.seuil_valdif
+        # stop tests on the order-IG magnitude (src/SOS_OS.F:1368-1406);
+        # SEUIL_VALDIF = 1e-50 underflows float32 — clamp to the smallest
+        # normal so the test keeps its dead-field semantics (precision.py)
+        valdif = max(opt.seuil_valdif, float(np.finfo(
+            np.dtype(h.dtype)).tiny))
+        stop_abs = jnp.max(jnp.abs(g1)) <= valdif
         z_rel = jnp.max(jnp.where(i3_n != 0.0,
                                   jnp.abs(_safe_div(g1, i3_n)), 0.0))
         stop_rel = z_rel <= opt.seuil_sumdif
@@ -588,7 +603,10 @@ def solve_fourier_batch(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
     n_s = inp.k_aer.shape[0]
     n = inp.mu_pos.shape[0]
     hp = _half_pad(n)
-    is0 = jnp.zeros((n_s,), dtype=inp.h.dtype).at[0].set(1.0)
+    if inp.is0 is not None:
+        is0 = inp.is0.astype(inp.h.dtype)
+    else:
+        is0 = jnp.zeros((n_s,), dtype=inp.h.dtype).at[0].set(1.0)
 
     # flat operators, built once per solve (Gauss weights + 1/2 folded in)
     m_aer = _flat_operator(inp.k_aer, inp.w_pos)
@@ -651,6 +669,13 @@ def solve_fourier_jit(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
     return solve_fourier(inp, opt)
 
 
+@_partial(jax.jit, static_argnames=("opt",))
+def solve_fourier_batch_jit(inp: SolveInputs,
+                            opt: SolveOptions) -> FourierResult:
+    """Jitted ``solve_fourier_batch`` (term-batched profiles)."""
+    return solve_fourier_batch(inp, opt)
+
+
 def interp_zout(acc, zprof, h, zout):
     """Radiance and optical depth at an arbitrary output altitude.
 
@@ -664,6 +689,125 @@ def interp_zout(acc, zprof, h, zout):
     i3z = (1.0 - zz) * acc[:, j - 1] + zz * acc[:, j]
     tauout = (1.0 - zz) * h[j - 1] + zz * h[j]
     return i3z, tauout
+
+
+def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
+                          block: int = 16,
+                          seuil_sf: float = cte.PH_SEUIL_SF
+                          ) -> FourierResult:
+    """Dispatch the Fourier orders in blocks with the sequential early exit.
+
+    The reference's IS loop leaves at the first order whose relative
+    contribution to the azimuth-recombined sums drops below ``seuil_sf``
+    (``SOS_ARRET_FOURIER``, ``src/SOS_OS.F:1580-1589``); with aerosols it
+    typically exits around IS ~ 30-50 of IBORM+1 = 81.  The all-orders
+    batch (:func:`solve_fourier_batch`) pays for every order; this driver
+    dispatches blocks of ``block`` orders from a single compiled executable
+    (the absolute order enters only through the traced ``is0`` vector) and
+    stops dispatching once EVERY term in the batch has passed the stop
+    test.  Results are bit-identical to the all-orders solve after
+    :func:`fourier_stop_mask`: the first passing order is found on exactly
+    the same cumulative sums, and later orders are masked to zero either
+    way.
+
+    Unsolved trailing orders are returned as zeros; ``emoins/eplus/tauout``
+    come from the first block (they are IS = 0 quantities,
+    ``src/SOS_OS.F:1447-1456``).
+    """
+    n_s = inp.k_aer.shape[0]
+    t_n = inp.h.shape[0]
+    n = inp.mu_pos.shape[0]
+    d = 2 * n + 1
+    n_pad = ((n_s + block - 1) // block) * block
+
+    def pad_s(x):
+        if x is None or x.shape[0] == n_s and n_pad == n_s:
+            return x
+        pad = [(0, n_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad)
+
+    k_aer = pad_s(inp.k_aer)
+    k_mol = pad_s(inp.k_mol)
+    rmat = pad_s(inp.surface.rmat) if inp.surface.rmat is not None else None
+
+    # incremental SOS_ARRET_FOURIER accumulators (src/SOS_OS.F:3709-3796)
+    i4 = np.zeros((t_n, 3, d))
+    i5 = np.zeros((t_n, 3, d))
+    last = np.full(t_n, -1, dtype=np.int64)          # first passing order
+    i3z_parts, i3bnd_parts = [], []
+    emoins = eplus = tauout = None
+    n_dispatched = 0
+
+    def dispatch(s0):
+        blk = slice(s0, s0 + block)
+        is0 = jnp.zeros((block,), dtype=inp.h.dtype)
+        if s0 == 0:
+            is0 = is0.at[0].set(1.0)
+        inp_b = inp._replace(
+            k_aer=k_aer[blk], k_mol=k_mol[blk],
+            surface=inp.surface._replace(
+                rmat=None if rmat is None else rmat[blk]),
+            is0=is0)
+        return solve_fourier_batch_jit(inp_b, opt)   # async
+
+    def process(s0, res_b):
+        """Sync one block and update the stop state; True when every term
+        has found its first passing order."""
+        nonlocal i4, i5, emoins, eplus, tauout, n_dispatched
+        i3z_parts.append(np.asarray(res_b.i3z))
+        bnd = np.asarray(res_b.i3bnd)                # (T, block, 3, D)
+        i3bnd_parts.append(bnd)
+        if s0 == 0:
+            emoins, eplus = res_b.emoins, res_b.eplus
+            tauout = res_b.tauout
+        n_dispatched = min(s0 + block, n_s)
+
+        s_abs = np.arange(s0, s0 + block)
+        coef = np.where(s_abs == 0, 1.0, 2.0)[None, :, None, None]
+        sign = np.where(s_abs % 2 == 0, 1.0, -1.0)[None, :, None, None]
+        c4 = i4[:, None] + np.cumsum(coef * bnd, axis=1)
+        c5 = i5[:, None] + np.cumsum(coef * sign * bnd, axis=1)
+        i4, i5 = c4[:, -1], c5[:, -1]
+
+        def ratios(den):
+            r = np.where(den != 0.0,
+                         np.abs(bnd) / np.where(den != 0.0, den, 1.0), 0.0)
+            return np.max(np.abs(r).reshape(t_n, block, -1), axis=2)
+
+        z1 = np.maximum(ratios(c4), ratios(c5))
+        passed = z1 <= seuil_sf                      # (T, block)
+        hit = passed.any(axis=1)
+        first = s0 + np.argmax(passed, axis=1)
+        upd = (last < 0) & hit & (first < n_s)
+        last[upd] = first[upd]
+        return bool(np.all(last >= 0))
+
+    # one-block speculation: dispatch block b+1 before synchronizing block
+    # b's records, overlapping the stop-test round trip with device compute
+    # (at most one surplus block runs vs the serial driver; its records lie
+    # beyond every stop order and are masked either way)
+    from collections import deque
+    inflight = deque()
+    s0 = 0
+    done = False
+    while s0 < n_pad and not done:
+        inflight.append((s0, dispatch(s0)))
+        s0 += block
+        if len(inflight) >= 2:
+            done = process(*inflight.popleft())
+    while inflight:
+        process(*inflight.popleft())
+
+    zeros_tail = n_s - n_dispatched
+    i3bnd = np.concatenate(i3bnd_parts, axis=1)[:, :n_dispatched]
+    i3z = np.concatenate(i3z_parts, axis=1)[:, :n_dispatched]
+    if zeros_tail > 0:
+        zpad = np.zeros((t_n, zeros_tail) + i3bnd.shape[2:])
+        i3bnd = np.concatenate([i3bnd, zpad], axis=1)
+        zpad_z = np.zeros((t_n, zeros_tail) + i3z.shape[2:])
+        i3z = np.concatenate([i3z, zpad_z], axis=1)
+    return FourierResult(i3z=jnp.asarray(i3z), i3bnd=jnp.asarray(i3bnd),
+                         emoins=emoins, eplus=eplus, tauout=tauout)
 
 
 def fourier_stop_mask(i3bnd, seuil_sf: float = cte.PH_SEUIL_SF):
