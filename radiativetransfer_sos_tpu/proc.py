@@ -417,6 +417,20 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
         os_nb, os_ns, os_nm = angles_mod.expansion_orders(
             cfg.angles.nbmu_mie, cfg.angles.nbmu_lum)
 
+    io = getattr(cfg, "io", {})
+    if "-ANG.Rad.ResFile" in io or "-ANG.Aer.ResFile" in io:
+        from . import products
+        if "-ANG.Rad.ResFile" in io:
+            products.write_angles_file(
+                io["-ANG.Rad.ResFile"], lum.mu, lum.w, "LUM", os_nb,
+                cfg.angles.nbmu_lum, thetas_deg=cfg.angles.thetas_deg,
+                imus=lum.imus, os_ns=os_ns, os_nm=os_nm,
+                is_user=lum.is_user)
+        if "-ANG.Aer.ResFile" in io:
+            products.write_angles_file(
+                io["-ANG.Aer.ResFile"], mie_grid.mu, mie_grid.w, "MIE",
+                os_nb, cfg.angles.nbmu_mie)
+
     # --- molecular optical thickness
     tr = cfg.profile.mot
     if tr == UNSET:
@@ -427,6 +441,9 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
         aer_exp, ta = aerosol_properties(cfg, mie_grid)
     trace.event("aerosols", ta=round(ta, 6),
                 coef_tronca=round(aer_exp.coef_tronca, 6))
+    if "-AER.ResFile" in io:
+        from . import products
+        products.write_aerosols_file(io["-AER.ResFile"], aer_exp)
 
     # --- surface (C7-C11)
     with trace.stage("surface"):
@@ -517,7 +534,8 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
     psl, rsl, tsl = gsf.gsf_basis(lum.mu, lum.mus, os_nb, iborm + 1)
     psl, rsl, tsl = map(jnp.asarray, (psl, rsl, tsl))
     k_aer = kernels.aerosol_kernel(psl, rsl, tsl, aer_exp.alpha,
-                                   aer_exp.beta, aer_exp.gamma, aer_exp.zeta)
+                                   aer_exp.beta, aer_exp.gamma,
+                                   aer_exp.zeta, cfg.ipolar)
     k_mol = kernels.molecular_kernel(psl, rsl, tsl, cfg.mdf, cfg.ipolar)
 
     if ifresnel or igli:
@@ -562,6 +580,15 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
         if mesh is not None:
             from .parallel import solve_terms_sharded
             res = solve_terms_sharded(mesh, inp, opt)
+        elif iborm + 1 > 24 and n_terms * (iborm + 1) >= 1024:
+            # block dispatch with the reference's sequential Fourier early
+            # exit (SOS_ARRET_FOURIER) — skips orders the post-hoc mask
+            # would zero anyway.  Only pays off once the (terms x orders)
+            # batch is large enough to keep the chip busy per block
+            # (measured crossover ~16 terms at demo shape on v5e; small
+            # batches are dispatch-latency-bound and the all-orders batch
+            # wins)
+            res = solver.solve_fourier_blocked(inp, opt)
         else:
             res = _solve_batch(inp, opt, n_terms)
         res = jax.tree_util.tree_map(
