@@ -40,6 +40,25 @@ def make_mesh(n_scene: int, n_fourier: int, devices=None) -> Mesh:
     return Mesh(devs, ("scene", "fourier"))
 
 
+def init_distributed() -> bool:
+    """Initialize ``jax.distributed`` for a multi-host (DCN) run.
+
+    The scene axis of :func:`make_mesh` then spans hosts: lay the mesh out
+    so the CKD/scene batch shards across DCN and the fourier axis stays
+    within each host's ICI domain (SURVEY.md §5/§7.6 — the only cross-host
+    communication of the workload is the AIK-weighted reduction).  No-op
+    (returns False) when no coordinator is configured, so single-host runs
+    and tests never touch the network.
+    """
+    import os
+
+    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")):
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def shard_solve_inputs(mesh: Mesh, inp: solver.SolveInputs,
                        batched: bool) -> solver.SolveInputs:
     """Place a (possibly scene-batched) SolveInputs onto the mesh.
@@ -124,59 +143,110 @@ def pad_terms(n_terms: int, n_shards: int) -> int:
     return ((n_terms + n_shards - 1) // n_shards) * n_shards
 
 
+def pad_orders(n_s: int, n_shards: int) -> int:
+    """Fourier orders padded so the S axis divides the fourier axis."""
+    return ((n_s + n_shards - 1) // n_shards) * n_shards
+
+
 def solve_terms_sharded(mesh: Mesh, inp: solver.SolveInputs,
                         opt: solver.SolveOptions):
-    """``solver.solve_fourier_batch`` with the CKD-term axis sharded.
+    """``solver.solve_fourier_batch`` on a (scene[, fourier]) mesh.
 
-    Each device runs the flattened (local-terms x Fourier-order) solve on
-    its slice of the term batch — the embarrassingly parallel axis of
-    SURVEY §2; kernels and surface matrices are replicated (they are shared
-    by every term).  The term count must divide the 'scene' axis (pad with
-    AIK-weight-0 duplicates via :func:`pad_terms`).
+    The CKD-term axis shards over ``scene`` (the embarrassingly parallel
+    axis of SURVEY §2); when the mesh also carries a ``fourier`` axis of
+    size > 1, the Fourier-order axis of the kernels (and surface matrices)
+    shards over it — the orders are independent (``src/SOS_OS.F:872``), so
+    each device solves its (local-terms x local-orders) block and only the
+    tiny boundary records are gathered.  The absolute order index enters
+    each shard through the sharded ``is0`` vector; the IS = 0 diffuse
+    fluxes (``src/SOS_OS.F:1447-1456``) are ``psum``-reduced over the
+    fourier axis so every shard returns the same per-term values.
+
+    The term count must divide the scene axis (pad with AIK-weight-0
+    duplicates via :func:`pad_terms`); orders are zero-padded here to
+    divide the fourier axis (zero kernels converge immediately and the
+    extra records are zeros, dropped by the caller's stop mask).
     """
     n_scene = mesh.shape["scene"]
+    n_fourier = mesh.shape.get("fourier", 1)
     if inp.h.shape[0] % n_scene:
         raise ValueError(
             f"term count {inp.h.shape[0]} must divide scene axis {n_scene}")
+
+    n_s = inp.k_aer.shape[0]
+    n_sp = pad_orders(n_s, n_fourier)
+
+    def pad_s(x):
+        if x is None or n_sp == n_s:
+            return x
+        pad = [(0, n_sp - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad)
+
+    is0 = jnp.zeros((n_sp,), dtype=inp.h.dtype).at[0].set(1.0)
+    inp = inp._replace(
+        k_aer=pad_s(inp.k_aer), k_mol=pad_s(inp.k_mol),
+        surface=inp.surface._replace(rmat=pad_s(inp.surface.rmat)),
+        is0=is0)
+
     n0 = inp.n0
     flags = (inp.surface.rmat is None, inp.surface.f11 is None,
              inp.surface.f12 is None, inp.surface.f33 is None,
              inp.surface.ind_surf is None, inp.zprof is None,
              inp.zout_km is None, jnp.ndim(inp.tab) == 1)
-    fn = _sharded_solver(mesh, opt, n0, flags)
-    return fn(inp._replace(n0=None))
+    fn = _sharded_solver(mesh, opt, n0, flags, n_fourier > 1)
+    res = fn(inp._replace(n0=None))
+    if n_sp != n_s:   # drop the zero-padded orders
+        res = res._replace(i3z=res.i3z[:, :n_s], i3bnd=res.i3bnd[:, :n_s])
+    return res
 
 
 @_functools.lru_cache(maxsize=None)
-def _sharded_solver(mesh, opt, n0, flags):
+def _sharded_solver(mesh, opt, n0, flags, shard_fourier):
     """Jitted shard_map solver, cached on (mesh, options, input structure)."""
     (no_rmat, no_f11, no_f12, no_f33, no_ind, no_zprof, no_zout,
      tab_batched) = flags
     from jax.sharding import PartitionSpec as P
 
+    four = "fourier" if shard_fourier else None
     term = P("scene")
     term_l = P("scene", None)
+    term_s = P("scene", four)    # (T, S, ...) outputs
     rep = P()
+    k_spec = P(four)             # (S, 3, 3, D, D) kernels
 
     surf_specs = solver.SurfaceInputs(
         rho=rep,
-        rmat=None if no_rmat else rep,
+        rmat=None if no_rmat else k_spec,
         f11=None if no_f11 else rep,
         f12=None if no_f12 else rep,
         f33=None if no_f33 else rep,
         ind_surf=None if no_ind else rep)
     in_specs = solver.SolveInputs(
         h=term_l, xdel=term_l, ydel=term_l,
-        k_aer=rep, k_mol=rep, mu_pos=rep, w_pos=rep,
+        k_aer=k_spec, k_mol=k_spec, mu_pos=rep, w_pos=rep,
         tab=term if tab_batched else rep,
         n0=None, surface=surf_specs,
         zprof=None if no_zprof else term_l,
-        zout_km=None if no_zout else rep)
+        zout_km=None if no_zout else rep,
+        is0=k_spec)
     out_specs = solver.FourierResult(
-        i3z=term, i3bnd=term, emoins=term, eplus=term, tauout=term)
+        i3z=term_s, i3bnd=term_s, emoins=term, eplus=term, tauout=term)
 
     def local(local_inp):
-        return solver.solve_fourier_batch(local_inp._replace(n0=n0), opt)
+        res = solver.solve_fourier_batch(local_inp._replace(n0=n0), opt)
+        if shard_fourier:
+            # only the shard holding the absolute order 0 computed real
+            # IS = 0 fluxes; zero the others and reduce so every shard
+            # carries the same per-term values
+            has0 = local_inp.is0[0]                  # 1.0 on the 0-shard
+            res = res._replace(
+                emoins=jax.lax.psum(res.emoins * has0, "fourier"),
+                eplus=jax.lax.psum(res.eplus * has0, "fourier"))
+            if not no_zout:
+                nf = float(mesh.shape["fourier"])
+                res = res._replace(
+                    tauout=jax.lax.psum(res.tauout, "fourier") / nf)
+        return res
 
     return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(in_specs,),
                                  out_specs=out_specs, check_vma=False))

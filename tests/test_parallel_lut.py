@@ -47,6 +47,36 @@ def test_sharded_run_matches_unsharded():
     np.testing.assert_allclose(r1.eplus, r0.eplus, rtol=1e-10)
 
 
+def test_sharded_run_2d_mesh_matches_unsharded():
+    """(scene x fourier) production mesh through proc.run: the kernel
+    Fourier axis shards across devices (orders are independent,
+    src/SOS_OS.F:872) and the IS=0 fluxes are psum-recovered."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    mesh = make_mesh(4, 2)
+    cfg = _cfg()
+    r0 = run(cfg)
+    r1 = run(cfg, mesh=mesh)
+    np.testing.assert_allclose(r1.records_up, r0.records_up,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(r1.emoins, r0.emoins, rtol=1e-10)
+    np.testing.assert_allclose(r1.eplus, r0.eplus, rtol=1e-10)
+    np.testing.assert_allclose(r1.ttot_vrai, r0.ttot_vrai, rtol=1e-12)
+
+
+def test_sharded_run_2d_mesh_with_zout():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    mesh = make_mesh(2, 2)
+    cfg = _cfg()
+    cfg.view.zout_km = 8.0
+    r0 = run(cfg)
+    r1 = run(cfg, mesh=mesh)
+    np.testing.assert_allclose(r1.records_up, r0.records_up,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(r1.tauout, r0.tauout, rtol=1e-10)
+
+
 def test_sweep_configs_cartesian():
     base = _cfg()
     cases = lut.sweep_configs(base, {"wavelength": [0.44, 0.55],
