@@ -419,8 +419,17 @@ def fsource_diff_fresnel1(f11sun, f12sun, xdel, ydel, nt, beta0, beta2,
 
 def sos_os(nbmu, rmu, ga, os_nb, nt, n0, tetas, ro, imat_surf, ifresnel,
            ind_surf, h, xdel, ydel, ron, alpha, beta, gamma, zeta,
-           igmax, iborm, ipolar=1, rmat_records=None):
-    """SOS_OS (src/SOS_OS.F:303).  Standard output level (ZOUT = -1).
+           igmax, iborm, ipolar=1, rmat_records=None, zout=None,
+           zprof=None):
+    """SOS_OS (src/SOS_OS.F:303).
+
+    ``zout``/``zprof``: arbitrary output altitude — per-level accumulators
+    I3OUT/Q3OUT/U3OUT with the per-level geometric tail
+    (``SOS_AJOUT_QUEUE`` second block, ``src/SOS_OS.F:3994-4011``),
+    per-level direct-reflection store/subtract RIIOUT
+    (``src/SOS_OS.F:1062-1079, 1431-1435``) and linear interpolation at the
+    bracketing levels (``src/SOS_OS.F:1511-1534``).  None = the standard
+    TOA/ground output (ZOUT = -1).
 
     ``rmu``/``ga``: signed arrays of length 2*nbmu+1 (offset by +nbmu); the
     center slot is overwritten with mus.  ``rmat_records``: list over IS of
@@ -537,12 +546,20 @@ def sos_os(nbmu, rmu, ga, os_nb, nt, n0, tetas, ro, imat_surf, ifresnel,
         rii = np.zeros(n + 1)
         rqq = np.zeros(n + 1)
         ruu = np.zeros(n + 1)
+        riiout = np.zeros((nt + 1, n + 1))
+        rqqout = np.zeros((nt + 1, n + 1))
+        ruuout = np.zeros((nt + 1, n + 1))
         if imat_surf == 1:
             for k in range(1, n + 1):
                 a = np.exp(-h[nt] / rmu[s(k)])
                 rii[k] = a * (i1[nt, s(k)] - xr[k])
                 rqq[k] = a * q1[nt, s(k)]
                 ruu[k] = a * u1[nt, s(k)]
+                for i in range(nt + 1):
+                    a = np.exp(-(h[nt] - h[i]) / rmu[s(k)])
+                    riiout[i, k] = a * (i1[nt, s(k)] - xr[k])
+                    rqqout[i, k] = a * q1[nt, s(k)]
+                    ruuout[i, k] = a * u1[nt, s(k)]
 
         # store order 1
         d1 = np.zeros(size)
@@ -565,6 +582,11 @@ def sos_os(nbmu, rmu, ga, os_nb, nt, n0, tetas, ro, imat_surf, ifresnel,
             d1[s(k)] = i1[0, s(k)]
             e1[s(k)] = q1[0, s(k)]
             f1v[s(k)] = u1[0, s(k)]
+
+        # per-level accumulators for an arbitrary output altitude
+        # (I3OUT..., D1OUT..., src/SOS_OS.F:1097-1141)
+        i3out, q3out, u3out = i1.copy(), q1.copy(), u1.copy()
+        d1out, e1out, f1out = i1.copy(), q1.copy(), u1.copy()
 
         ig = 1
         while True:
@@ -648,10 +670,18 @@ def sos_os(nbmu, rmu, ga, os_nb, nt, n0, tetas, ro, imat_surf, ifresnel,
                                              (f1v, p1, u3)):
                             if dd[s(j)] != 0.0:
                                 cc[s(j)] += gg[s(j)] / (1.0 - gg[s(j)] / dd[s(j)])
+                    # per-level tail (src/SOS_OS.F:3994-4011); G1OUT is the
+                    # current order-IG field i1/q1/u1
+                    for (ddo, ggo, cco) in ((d1out, i1, i3out),
+                                            (e1out, q1, q3out),
+                                            (f1out, u1, u3out)):
+                        nz = ddo != 0.0
+                        cco[nz] += ggo[nz] / (1.0 - ggo[nz] / ddo[nz])
                     break
 
             a1, b1, c1 = d1.copy(), e1.copy(), f1v.copy()
             d1, e1, f1v = g1.copy(), h1.copy(), p1.copy()
+            d1out, e1out, f1out = i1.copy(), q1.copy(), u1.copy()
 
             for j in range(1, n + 1):
                 i3[s(j)] += i1[0, s(j)]
@@ -660,6 +690,9 @@ def sos_os(nbmu, rmu, ga, os_nb, nt, n0, tetas, ro, imat_surf, ifresnel,
                 i3[s(-j)] += i1[nt, s(-j)]
                 q3[s(-j)] += q1[nt, s(-j)]
                 u3[s(-j)] += u1[nt, s(-j)]
+            i3out += i1
+            q3out += q1
+            u3out += u1
 
             z1 = 0.0
             for k in range(-n, n + 1):
@@ -686,6 +719,9 @@ def sos_os(nbmu, rmu, ga, os_nb, nt, n0, tetas, ro, imat_surf, ifresnel,
                 i3[s(j)] -= rii[j]
                 q3[s(j)] -= rqq[j]
                 u3[s(j)] -= ruu[j]
+                i3out[:, s(j)] -= riiout[:, j]
+                q3out[:, s(j)] -= rqqout[:, j]
+                u3out[:, s(j)] -= ruuout[:, j]
 
         if is_order == 0:
             emoins = 0.0
@@ -709,7 +745,18 @@ def sos_os(nbmu, rmu, ga, os_nb, nt, n0, tetas, ro, imat_surf, ifresnel,
             q5[s(j)] += coef * q3[s(j)] * sign
             u5[s(j)] += coef * u3[s(j)] * sign
 
-        records.append((q3.copy(), u3.copy(), i3.copy()))
+        if zout is None:
+            records.append((q3.copy(), u3.copy(), i3.copy()))
+        else:
+            # interpolation at the bracketing levels (src/SOS_OS.F:1511-1534)
+            j = 1
+            while zout < zprof[j]:
+                j += 1
+            zz = (zout - zprof[j - 1]) / (zprof[j] - zprof[j - 1])
+            records.append((
+                (1.0 - zz) * q3out[j - 1] + zz * q3out[j],
+                (1.0 - zz) * u3out[j - 1] + zz * u3out[j],
+                (1.0 - zz) * i3out[j - 1] + zz * i3out[j]))
 
         z1 = 0.0
         for j in range(-n, n + 1):
