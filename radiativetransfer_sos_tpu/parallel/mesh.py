@@ -230,7 +230,8 @@ def _sharded_solver(mesh, opt, n0, flags, shard_fourier):
         zout_km=None if no_zout else rep,
         is0=k_spec)
     out_specs = solver.FourierResult(
-        i3z=term_s, i3bnd=term_s, emoins=term, eplus=term, tauout=term)
+        i3z=term_s, i3bnd=term_s, emoins=term, eplus=term, tauout=term,
+        ig_last=term_s, stop_code=term_s)
 
     def local(local_inp):
         res = solver.solve_fourier_batch(local_inp._replace(n0=n0), opt)

@@ -597,6 +597,22 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
         if n_solved != n_terms:   # drop the padded terms
             res = jax.tree_util.tree_map(lambda x: x[:n_terms], res)
 
+    # per-IS/IG convergence narration (the reference's unit-99 OS log,
+    # src/SOS_OS.F:1306-1415; SURVEY §5 "debug dumps of scan carry")
+    if res.ig_last is not None:
+        ig = np.asarray(res.ig_last)
+        code = np.asarray(res.stop_code)
+        names = {0: "igmax", 1: "geom-conv", 2: "valdif", 3: "sumdif"}
+        trace.event("scattering", ig_mean=round(float(ig.mean()), 2),
+                    ig_max=int(ig.max()),
+                    stops={names[c]: int((code == c).sum())
+                           for c in np.unique(code)})
+        for t in range(min(n_terms, 4)):     # per-order dump, first terms
+            trace.event(
+                "scattering.orders", term=t,
+                ig_per_order=[int(v) for v in ig[t]],
+                stop_per_order=[names[int(c)] for c in code[t]])
+
     # --- aggregation (C18): AIK-weighted contraction over the batch axis
     i3z = np.asarray(res.i3z)               # (terms, S, 3, D)
     mask = np.stack([np.asarray(solver.fourier_stop_mask(

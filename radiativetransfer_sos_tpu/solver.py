@@ -108,6 +108,12 @@ class FourierResult(NamedTuple):
     emoins: jnp.ndarray     # scalar: downward diffuse flux (IS=0 slice)
     eplus: jnp.ndarray      # scalar: upward diffuse flux (IS=0 slice)
     tauout: Optional[jnp.ndarray] = None  # optical depth of the output level
+    # per-order scattering-loop narration (the reference's unit-99 log,
+    # src/SOS_OS.F:1306-1415): last computed order IG and the stop reason
+    # (0 = hit IGMAX, 1 = geometric-series convergence + tail,
+    #  2 = |field| < SEUIL_VALDIF, 3 = order/cumulative < SEUIL_SUMDIF)
+    ig_last: Optional[jnp.ndarray] = None   # (S,) int32
+    stop_code: Optional[jnp.ndarray] = None  # (S,) int32
 
 
 # ---------------------------------------------------------------------------
@@ -516,11 +522,11 @@ def _solve_one_order(mboth, col_a, col_m, k_aer_s, k_mol_s, rmat_s, is0,
         d1out = None
 
     def cond(carry):
-        (ig, fld, i3_c, a1_c, d1_c, acc_c, d1out_c, done) = carry
+        (ig, fld, i3_c, a1_c, d1_c, acc_c, d1out_c, done, diag) = carry
         return (~done) & (ig <= opt.igmax)
 
     def body(carry):
-        (ig, fld, i3_c, a1_c, d1_c, acc_c, d1out_c, done) = carry
+        (ig, fld, i3_c, a1_c, d1_c, acc_c, d1out_c, done, diag) = carry
 
         src = _scatter_flat(mboth, xdel, ydel, fld)
         bc = _surface_reflect_flat(fld[-1, hp:], inp, opt, rmat_s, is0, hp)
@@ -554,20 +560,32 @@ def _solve_one_order(mboth, col_a, col_m, k_aer_s, k_mol_s, rmat_s, is0,
         stop_rel = z_rel <= opt.seuil_sumdif
         done_n = done | conv | (active & (stop_abs | stop_rel))
 
+        # narration (reference unit-99 log, src/SOS_OS.F:1306-1415)
+        ig_last, code = diag
+        code_n = jnp.where(
+            conv, 1, jnp.where(active & stop_abs, 2,
+                               jnp.where(active & stop_rel, 3, 0)))
+        just_stopped = (~done) & done_n
+        code = jnp.where(just_stopped, code_n.astype(jnp.int32), code)
+        ig_last = jnp.where(~done, ig, ig_last)
+
         # once done, further iterates are masked out of every accumulator,
         # so the field may advance unconditionally (no (NT+1, W) select)
         a1_n = jnp.where(active, d1_c, a1_c)
         d1_n = jnp.where(active, g1, d1_c)
-        return (ig + 1, new, i3_n, a1_n, d1_n, acc_n, d1out_n, done_n)
+        return (ig + 1, new, i3_n, a1_n, d1_n, acc_n, d1out_n, done_n,
+                (ig_last, code))
 
     # while_loop, not a fixed-trip scan: the scattering series typically
     # converges in 5-30 orders (IGMAX defaults to 100,
     # src/SOS_PROC.F / inc/SOS.h:383) — under vmap the loop runs until the
     # slowest instance in the batch is done, the rest stay masked
+    diag0 = (jnp.asarray(1, dtype=jnp.int32), jnp.asarray(0, jnp.int32))
     init = (jnp.asarray(2, dtype=jnp.int32), field, i3, a1, d1, acc, d1out,
-            jnp.asarray(False))
-    (_, field, i3, a1, d1, acc, d1out, done) = lax.while_loop(
+            jnp.asarray(False), diag0)
+    (_, field, i3, a1, d1, acc, d1out, done, diag) = lax.while_loop(
         cond, body, init)
+    ig_last, stop_code = diag
 
     # remove the stored direct-reflection term (src/SOS_OS.F:1421-1439)
     if opt.imat_surf:
@@ -576,7 +594,8 @@ def _solve_one_order(mboth, col_a, col_m, k_aer_s, k_mol_s, rmat_s, is0,
             i3 = i3.at[:hp].add(-rii_full[0])
         else:
             i3 = i3.at[:hp].add(-rii0)
-    return i3, (acc if opt.use_zout else jnp.zeros((1, 1), h.dtype))
+    return (i3, (acc if opt.use_zout else jnp.zeros((1, 1), h.dtype)),
+            ig_last, stop_code)
 
 
 def solve_fourier(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
@@ -633,8 +652,10 @@ def solve_fourier_batch(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
                                 inp.k_aer[s_idx], inp.k_mol[s_idx],
                                 rmat[s_idx], is0[s_idx], inner, opt)
 
-    i3, acc = jax.vmap(one)(tt.ravel(), ss.ravel())
+    i3, acc, ig_last, stop_code = jax.vmap(one)(tt.ravel(), ss.ravel())
     i3 = i3.reshape(t_n, n_s, 2 * hp)
+    ig_last = ig_last.reshape(t_n, n_s)
+    stop_code = stop_code.reshape(t_n, n_s)
 
     # diffuse fluxes at IS = 0 (src/SOS_OS.F:1447-1456), per term
     i3_0 = i3[:, 0]                                  # (T, W)
@@ -660,7 +681,8 @@ def solve_fourier_batch(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
         i3z = i3bnd
         tauout = jnp.zeros((t_n,), dtype=i3z.dtype)
     return FourierResult(i3z=i3z, i3bnd=i3bnd, emoins=emoins, eplus=eplus,
-                         tauout=tauout)
+                         tauout=tauout, ig_last=ig_last,
+                         stop_code=stop_code)
 
 
 @_partial(jax.jit, static_argnames=("opt",))
@@ -734,7 +756,7 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
     i4 = np.zeros((t_n, 3, d))
     i5 = np.zeros((t_n, 3, d))
     last = np.full(t_n, -1, dtype=np.int64)          # first passing order
-    i3z_parts, i3bnd_parts = [], []
+    i3z_parts, i3bnd_parts, ig_parts, code_parts = [], [], [], []
     emoins = eplus = tauout = None
     n_dispatched = 0
 
@@ -757,6 +779,8 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
         i3z_parts.append(np.asarray(res_b.i3z))
         bnd = np.asarray(res_b.i3bnd)                # (T, block, 3, D)
         i3bnd_parts.append(bnd)
+        ig_parts.append(np.asarray(res_b.ig_last))
+        code_parts.append(np.asarray(res_b.stop_code))
         if s0 == 0:
             emoins, eplus = res_b.emoins, res_b.eplus
             tauout = res_b.tauout
@@ -801,13 +825,20 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
     zeros_tail = n_s - n_dispatched
     i3bnd = np.concatenate(i3bnd_parts, axis=1)[:, :n_dispatched]
     i3z = np.concatenate(i3z_parts, axis=1)[:, :n_dispatched]
+    ig_last = np.concatenate(ig_parts, axis=1)[:, :n_dispatched]
+    stop_code = np.concatenate(code_parts, axis=1)[:, :n_dispatched]
     if zeros_tail > 0:
         zpad = np.zeros((t_n, zeros_tail) + i3bnd.shape[2:])
         i3bnd = np.concatenate([i3bnd, zpad], axis=1)
         zpad_z = np.zeros((t_n, zeros_tail) + i3z.shape[2:])
         i3z = np.concatenate([i3z, zpad_z], axis=1)
+        ipad = np.zeros((t_n, zeros_tail), dtype=ig_last.dtype)
+        ig_last = np.concatenate([ig_last, ipad], axis=1)
+        stop_code = np.concatenate([stop_code, ipad], axis=1)
     return FourierResult(i3z=jnp.asarray(i3z), i3bnd=jnp.asarray(i3bnd),
-                         emoins=emoins, eplus=eplus, tauout=tauout)
+                         emoins=emoins, eplus=eplus, tauout=tauout,
+                         ig_last=jnp.asarray(ig_last),
+                         stop_code=jnp.asarray(stop_code))
 
 
 def fourier_stop_mask(i3bnd, seuil_sf: float = cte.PH_SEUIL_SF):
