@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
         print(__doc__)
         return 0
     import jax
+    # honor JAX_PLATFORMS even when a site hook pre-imported jax and pinned
+    # the platform through jax.config (env vars lose to config updates)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     jax.config.update("jax_enable_x64", True)   # reference is f64 throughout
     # persistent kernel cache — the TPU-era analogue of the reference's
     # on-disk product-file memoization (SURVEY.md §5 checkpoint/resume)

@@ -713,6 +713,35 @@ def interp_zout(acc, zprof, h, zout):
     return i3z, tauout
 
 
+@_partial(jax.jit, static_argnames=("s0", "block", "n_s", "seuil_sf"))
+def _stop_step(i4, i5, found, bnd, s0, block, n_s, seuil_sf):
+    """On-device SOS_ARRET_FOURIER accumulator step for one order block.
+
+    ``bnd``: (T, block, 3, D) boundary records of absolute orders
+    [s0, s0+block).  Carries the azimuth-recombined sums I4/I5
+    (``src/SOS_OS.F:3709-3796``) and a per-term ``found`` flag; returns the
+    updated carry plus a single scalar ``all_found`` — the only value the
+    host ever reads, so one block costs one tiny device-to-host sync.
+    """
+    s_abs = s0 + jnp.arange(block)
+    coef = jnp.where(s_abs == 0, 1.0, 2.0)[None, :, None, None]
+    sign = jnp.where(s_abs % 2 == 0, 1.0, -1.0)[None, :, None, None]
+    bnd = bnd.astype(i4.dtype)
+    c4 = i4[:, None] + jnp.cumsum(coef * bnd, axis=1)
+    c5 = i5[:, None] + jnp.cumsum(coef * sign * bnd, axis=1)
+
+    t_n = bnd.shape[0]
+
+    def ratios(den):
+        r = jnp.where(den != 0.0, jnp.abs(_safe_div(bnd, den)), 0.0)
+        return jnp.max(r.reshape(t_n, block, -1), axis=2)
+
+    z1 = jnp.maximum(ratios(c4), ratios(c5))
+    passed = (z1 <= seuil_sf) & (s_abs < n_s)[None, :]   # (T, block)
+    found = found | jnp.any(passed, axis=1)
+    return c4[:, -1], c5[:, -1], found, jnp.all(found)
+
+
 def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
                           block: int = 16,
                           seuil_sf: float = cte.PH_SEUIL_SF
@@ -731,6 +760,12 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
     :func:`fourier_stop_mask`: the first passing order is found on exactly
     the same cumulative sums, and later orders are masked to zero either
     way.
+
+    The whole loop is device-resident: block results stay on the device,
+    the stop test runs there too (:func:`_stop_step`), and the host syncs
+    exactly one scalar per block — on a high-latency link (remote-TPU
+    tunnel) the per-block overhead is one round trip, overlapped with the
+    next speculated block's compute.
 
     Unsolved trailing orders are returned as zeros; ``emoins/eplus/tauout``
     come from the first block (they are IS = 0 quantities,
@@ -752,11 +787,12 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
     k_mol = pad_s(inp.k_mol)
     rmat = pad_s(inp.surface.rmat) if inp.surface.rmat is not None else None
 
-    # incremental SOS_ARRET_FOURIER accumulators (src/SOS_OS.F:3709-3796)
-    i4 = np.zeros((t_n, 3, d))
-    i5 = np.zeros((t_n, 3, d))
-    last = np.full(t_n, -1, dtype=np.int64)          # first passing order
-    i3z_parts, i3bnd_parts, ig_parts, code_parts = [], [], [], []
+    # device-resident SOS_ARRET_FOURIER carry (src/SOS_OS.F:3709-3796)
+    acc_dtype = inp.h.dtype
+    i4 = jnp.zeros((t_n, 3, d), acc_dtype)
+    i5 = jnp.zeros((t_n, 3, d), acc_dtype)
+    found = jnp.zeros((t_n,), bool)
+    parts = []                                   # per-block FourierResult
     emoins = eplus = tauout = None
     n_dispatched = 0
 
@@ -773,38 +809,17 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
         return solve_fourier_batch_jit(inp_b, opt)   # async
 
     def process(s0, res_b):
-        """Sync one block and update the stop state; True when every term
-        has found its first passing order."""
-        nonlocal i4, i5, emoins, eplus, tauout, n_dispatched
-        i3z_parts.append(np.asarray(res_b.i3z))
-        bnd = np.asarray(res_b.i3bnd)                # (T, block, 3, D)
-        i3bnd_parts.append(bnd)
-        ig_parts.append(np.asarray(res_b.ig_last))
-        code_parts.append(np.asarray(res_b.stop_code))
+        """Fold one block into the device carry; True when every term has
+        found its first passing order.  Blocks only on the scalar."""
+        nonlocal i4, i5, found, emoins, eplus, tauout, n_dispatched
+        parts.append(res_b)
         if s0 == 0:
             emoins, eplus = res_b.emoins, res_b.eplus
             tauout = res_b.tauout
         n_dispatched = min(s0 + block, n_s)
-
-        s_abs = np.arange(s0, s0 + block)
-        coef = np.where(s_abs == 0, 1.0, 2.0)[None, :, None, None]
-        sign = np.where(s_abs % 2 == 0, 1.0, -1.0)[None, :, None, None]
-        c4 = i4[:, None] + np.cumsum(coef * bnd, axis=1)
-        c5 = i5[:, None] + np.cumsum(coef * sign * bnd, axis=1)
-        i4, i5 = c4[:, -1], c5[:, -1]
-
-        def ratios(den):
-            r = np.where(den != 0.0,
-                         np.abs(bnd) / np.where(den != 0.0, den, 1.0), 0.0)
-            return np.max(np.abs(r).reshape(t_n, block, -1), axis=2)
-
-        z1 = np.maximum(ratios(c4), ratios(c5))
-        passed = z1 <= seuil_sf                      # (T, block)
-        hit = passed.any(axis=1)
-        first = s0 + np.argmax(passed, axis=1)
-        upd = (last < 0) & hit & (first < n_s)
-        last[upd] = first[upd]
-        return bool(np.all(last >= 0))
+        i4, i5, found, all_found = _stop_step(
+            i4, i5, found, res_b.i3bnd, s0, block, n_s, float(seuil_sf))
+        return bool(all_found)
 
     # one-block speculation: dispatch block b+1 before synchronizing block
     # b's records, overlapping the stop-test round trip with device compute
@@ -822,23 +837,24 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
     while inflight:
         process(*inflight.popleft())
 
+    def cat(field, trim):
+        out = jnp.concatenate([getattr(p, field) for p in parts], axis=1)
+        return out[:, :trim]
+
     zeros_tail = n_s - n_dispatched
-    i3bnd = np.concatenate(i3bnd_parts, axis=1)[:, :n_dispatched]
-    i3z = np.concatenate(i3z_parts, axis=1)[:, :n_dispatched]
-    ig_last = np.concatenate(ig_parts, axis=1)[:, :n_dispatched]
-    stop_code = np.concatenate(code_parts, axis=1)[:, :n_dispatched]
+    i3bnd = cat("i3bnd", n_dispatched)
+    i3z = cat("i3z", n_dispatched)
+    ig_last = cat("ig_last", n_dispatched)
+    stop_code = cat("stop_code", n_dispatched)
     if zeros_tail > 0:
-        zpad = np.zeros((t_n, zeros_tail) + i3bnd.shape[2:])
-        i3bnd = np.concatenate([i3bnd, zpad], axis=1)
-        zpad_z = np.zeros((t_n, zeros_tail) + i3z.shape[2:])
-        i3z = np.concatenate([i3z, zpad_z], axis=1)
-        ipad = np.zeros((t_n, zeros_tail), dtype=ig_last.dtype)
-        ig_last = np.concatenate([ig_last, ipad], axis=1)
-        stop_code = np.concatenate([stop_code, ipad], axis=1)
-    return FourierResult(i3z=jnp.asarray(i3z), i3bnd=jnp.asarray(i3bnd),
+        def padz(x):
+            pad = [(0, 0), (0, zeros_tail)] + [(0, 0)] * (x.ndim - 2)
+            return jnp.pad(x, pad)
+        i3bnd, i3z = padz(i3bnd), padz(i3z)
+        ig_last, stop_code = padz(ig_last), padz(stop_code)
+    return FourierResult(i3z=i3z, i3bnd=i3bnd,
                          emoins=emoins, eplus=eplus, tauout=tauout,
-                         ig_last=jnp.asarray(ig_last),
-                         stop_code=jnp.asarray(stop_code))
+                         ig_last=ig_last, stop_code=stop_code)
 
 
 def fourier_stop_mask(i3bnd, seuil_sf: float = cte.PH_SEUIL_SF):

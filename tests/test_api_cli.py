@@ -122,15 +122,18 @@ def test_sos_proc_polar_diagram(tmp_path):
 def test_cli_end_to_end(tmp_path):
     """CLI driver: JOB_STATUS=OK + products on disk; status 1 on bad args."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # small shapes + a wide timeout: on a weak CI host the subprocess pays
+    # a cold JAX import + XLA CPU compile (the physics is covered at real
+    # shapes elsewhere; this test is about the CLI contract)
     r = subprocess.run(
         [sys.executable, "-m", "radiativetransfer_sos_tpu",
          "-SOS_Main.Wa", "0.55", "-ANG.Thetas", "30.",
-         "-ANG.Rad.NbGauss", "8", "-ANG.Aer.NbGauss", "8",
+         "-ANG.Rad.NbGauss", "6", "-ANG.Aer.NbGauss", "6",
          "-SURF.Type", "0", "-SURF.Alb", "0.2",
          "-AP.AbsProfile.Type", "7", "-SOS.View", "1",
-         "-SOS.View.Phi", "0.", "-SOS.IGmax", "20",
+         "-SOS.View.Phi", "0.", "-SOS.IGmax", "10",
          "-SOS_Main.ResRoot", str(tmp_path)],
-        capture_output=True, text=True, env=env, timeout=900)
+        capture_output=True, text=True, env=env, timeout=1800)
     assert r.returncode == 0, r.stderr
     assert "JOB_STATUS=OK" in r.stdout
     assert os.path.exists(tmp_path / "SOS" / "SOS_Up.txt")
