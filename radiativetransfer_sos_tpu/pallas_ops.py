@@ -32,48 +32,97 @@ _CHUNK = 256        # levels per grid step
 _UNROLL = 8         # levels per loop iteration (amortizes loop overhead)
 
 
-def _dn_kernel(att_ref, bd_ref, out_ref, carry):
-    """Forward (TOA -> ground) recurrence over one level chunk.
+def _dn_kernel(dtau_ref, rdtau_ref, mu_ref, rmu_ref, sdsh_ref, sd0_ref,
+               out_ref, carry, lo_s):
+    """Forward (TOA -> ground) recurrence over one level chunk, with the
+    affine step coefficients computed in VMEM.
 
-    att/bd/out blocks: (CH, 8, HP); carry scratch: (1, 8, HP), persists
-    across the sequential chunk grid steps of one instance block.
+    Per level ``i`` (``src/SOS_OS.F:2279-2354``, linear-in-tau source)::
+
+        att = exp(-dtau_i / mu)
+        al  = (sd[i+1] - sd[i]) / dtau_i          (0 on zero-thickness pads)
+        bd  = (1-att) * (-al*mu + sd[i+1]) + al*att*dtau_i
+        c   = att * c + bd
+
+    Blocks: dtau/rdtau (CH, 8); mu/rmu (1, HP); ``sdsh_ref`` (CH, 8, HP) =
+    downward-source rows shifted by one level (sd[i+1]); ``sd0_ref``
+    (8, HP) = sd[0].  Scratch ``carry`` holds the field recurrence and
+    ``lo_s`` the previous source row, both persisting across the
+    sequential chunk grid steps of one instance block.  Computing the
+    coefficients here (instead of materializing att/bu/bd through XLA)
+    drops the sweep's HBM traffic from ~8 field-sized passes to
+    read-src + write-out.
     """
-    ch = att_ref.shape[0]
+    ch = sdsh_ref.shape[0]
+    mu = mu_ref[0]
+    rmu = rmu_ref[0]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         carry[:] = jnp.zeros_like(carry)
+        lo_s[:] = sd0_ref[:]
 
-    def body(i, c):
+    def body(i, cl):
+        c, lo = cl
         base = i * _UNROLL
         for u in range(_UNROLL):
-            c = att_ref[pl.ds(base + u, 1)] * c + bd_ref[pl.ds(base + u, 1)]
-            out_ref[pl.ds(base + u, 1)] = c
-        return c
+            idx = base + u
+            hi = sdsh_ref[pl.ds(idx, 1)][0]          # (8, HP)
+            dt = dtau_ref[pl.ds(idx, 1)][0][:, None]  # (8, 1)
+            rd = rdtau_ref[pl.ds(idx, 1)][0][:, None]
+            att = jnp.exp(-dt * rmu)
+            al = (hi - lo) * rd
+            c = att * c + ((1.0 - att) * (-al * mu + hi) + al * att * dt)
+            out_ref[pl.ds(idx, 1)] = c[None]
+            lo = hi
+        return c, lo
 
-    carry[:] = lax.fori_loop(0, ch // _UNROLL, body, carry[:])
+    c, lo = lax.fori_loop(0, ch // _UNROLL, body, (carry[0], lo_s[0]))
+    carry[0] = c
+    lo_s[0] = lo
 
 
-def _up_kernel(att_ref, bu_ref, bc_ref, out_ref, carry):
-    """Backward (ground -> TOA) recurrence over one level chunk.
+def _up_kernel(dtau_ref, rdtau_ref, mu_ref, rmu_ref, sulo_ref, suN_ref,
+               bc_ref, out_ref, carry, hi_s):
+    """Backward (ground -> TOA) recurrence over one level chunk, fused
+    like ``_dn_kernel``.  Per level ``i`` (walked in decreasing order)::
 
-    Blocks as in ``_dn_kernel`` but the index maps feed chunks in reverse
-    level order; ``bc_ref``: (8, HP) ground boundary."""
-    ch = att_ref.shape[0]
+        al = (su[i+1] - su[i]) / dtau_i
+        bu = (1-att) * (al*mu + su[i]) - al*att*dtau_i
+        c  = att * c + bu
+
+    The index maps feed chunks in reverse level order; ``sulo_ref``
+    (CH, 8, HP) holds the su[i] rows (pad rows beyond the ground carry
+    su[NT] so the hi-chain survives the reversed walk across them);
+    ``suN_ref``: (8, HP) = su[NT], seeding the hi-chain; ``bc_ref``:
+    (8, HP) ground boundary."""
+    ch = sulo_ref.shape[0]
+    mu = mu_ref[0]
+    rmu = rmu_ref[0]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         carry[:] = bc_ref[:].reshape(carry.shape)
+        hi_s[:] = suN_ref[:].reshape(carry.shape)
 
-    def body(k, c):
+    def body(k, chi):
+        c, hi = chi
         base = ch - (k + 1) * _UNROLL
         for u in range(_UNROLL):
-            i = base + (_UNROLL - 1 - u)
-            c = att_ref[pl.ds(i, 1)] * c + bu_ref[pl.ds(i, 1)]
-            out_ref[pl.ds(i, 1)] = c
-        return c
+            idx = base + (_UNROLL - 1 - u)
+            lo = sulo_ref[pl.ds(idx, 1)][0]
+            dt = dtau_ref[pl.ds(idx, 1)][0][:, None]
+            rd = rdtau_ref[pl.ds(idx, 1)][0][:, None]
+            att = jnp.exp(-dt * rmu)
+            al = (hi - lo) * rd
+            c = att * c + ((1.0 - att) * (al * mu + lo) - al * att * dt)
+            out_ref[pl.ds(idx, 1)] = c[None]
+            hi = lo
+        return c, hi
 
-    carry[:] = lax.fori_loop(0, ch // _UNROLL, body, carry[:])
+    c, hi = lax.fori_loop(0, ch // _UNROLL, body, (carry[0], hi_s[0]))
+    carry[0] = c
+    hi_s[0] = hi
 
 
 def _pad_axis(x, axis, target, value=0.0):
