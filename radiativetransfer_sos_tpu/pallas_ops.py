@@ -54,13 +54,13 @@ def _dn_kernel(dtau_ref, rdtau_ref, mu_ref, rmu_ref, sdsh_ref, sd0_ref,
     read-src + write-out.
     """
     ch = sdsh_ref.shape[0]
-    mu = mu_ref[0]
-    rmu = rmu_ref[0]
+    mu = mu_ref[:]            # (1, HP), broadcasts against (8, HP)
+    rmu = rmu_ref[:]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         carry[:] = jnp.zeros_like(carry)
-        lo_s[:] = sd0_ref[:]
+        lo_s[:] = sd0_ref[:].reshape(lo_s.shape)
 
     def body(i, cl):
         c, lo = cl
@@ -68,8 +68,8 @@ def _dn_kernel(dtau_ref, rdtau_ref, mu_ref, rmu_ref, sdsh_ref, sd0_ref,
         for u in range(_UNROLL):
             idx = base + u
             hi = sdsh_ref[pl.ds(idx, 1)][0]          # (8, HP)
-            dt = dtau_ref[pl.ds(idx, 1)][0][:, None]  # (8, 1)
-            rd = rdtau_ref[pl.ds(idx, 1)][0][:, None]
+            dt = dtau_ref[pl.ds(idx, 1)][0]          # (8, 1)
+            rd = rdtau_ref[pl.ds(idx, 1)][0]
             att = jnp.exp(-dt * rmu)
             al = (hi - lo) * rd
             c = att * c + ((1.0 - att) * (-al * mu + hi) + al * att * dt)
@@ -97,8 +97,8 @@ def _up_kernel(dtau_ref, rdtau_ref, mu_ref, rmu_ref, sulo_ref, suN_ref,
     ``suN_ref``: (8, HP) = su[NT], seeding the hi-chain; ``bc_ref``:
     (8, HP) ground boundary."""
     ch = sulo_ref.shape[0]
-    mu = mu_ref[0]
-    rmu = rmu_ref[0]
+    mu = mu_ref[:]            # (1, HP), broadcasts against (8, HP)
+    rmu = rmu_ref[:]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -111,8 +111,8 @@ def _up_kernel(dtau_ref, rdtau_ref, mu_ref, rmu_ref, sulo_ref, suN_ref,
         for u in range(_UNROLL):
             idx = base + (_UNROLL - 1 - u)
             lo = sulo_ref[pl.ds(idx, 1)][0]
-            dt = dtau_ref[pl.ds(idx, 1)][0][:, None]
-            rd = rdtau_ref[pl.ds(idx, 1)][0][:, None]
+            dt = dtau_ref[pl.ds(idx, 1)][0]          # (8, 1)
+            rd = rdtau_ref[pl.ds(idx, 1)][0]
             att = jnp.exp(-dt * rmu)
             al = (hi - lo) * rd
             c = att * c + ((1.0 - att) * (al * mu + lo) - al * att * dt)
@@ -131,8 +131,7 @@ def _pad_axis(x, axis, target, value=0.0):
     return jnp.pad(x, pad, constant_values=value)
 
 
-@jax.jit
-def sweep_flat_batched(h_b, muh, src_b, bc_b):
+def sweep_flat_batched(h_b, muh, src_b, bc_b, interpret=False):
     """Batched flat-field sweep on TPU (see ``solver._sweep_flat``).
 
     ``h_b``: (TS, NT+1) cumulative optical depths; ``muh``: (HP,) direction
@@ -141,8 +140,10 @@ def sweep_flat_batched(h_b, muh, src_b, bc_b):
     integrated field (TS, NT+1, W).
 
     The affine step coefficients (linear-in-tau source integration,
-    ``src/SOS_OS.F:2279-2354``) are produced by fused XLA elementwise ops in
-    the sublane-major layout; the recurrences run in the Pallas kernels.
+    ``src/SOS_OS.F:2279-2354``) are computed *inside* the kernels from the
+    per-layer (dtau, 1/dtau) columns and the source rows — the sweep's HBM
+    traffic is one read of the sources plus one write of the field, instead
+    of materializing att/bu/bd ((NT, TS, HP) each) through XLA first.
     """
     ts, ntp1, w = src_b.shape
     hp = w // 2
@@ -150,17 +151,13 @@ def sweep_flat_batched(h_b, muh, src_b, bc_b):
     dtype = src_b.dtype
 
     h_t = jnp.swapaxes(h_b, 0, 1)                    # (NT+1, TS)
-    dtau = (h_t[1:] - h_t[:-1])[:, :, None]          # (NT, TS, 1)
+    dtau = h_t[1:] - h_t[:-1]                        # (NT, TS)
     pos = dtau > 0.0
-    safe = jnp.where(pos, dtau, 1.0)
-    att = jnp.exp(-dtau / muh[None, None, :])        # (NT, TS, HP)
+    # zero-thickness padding layers are identity steps: dtau = rdtau = 0
+    # gives att = 1 and al = 0 inside the kernels
+    rdtau = jnp.where(pos, 1.0 / jnp.where(pos, dtau, 1.0), 0.0)
     src_t = jnp.swapaxes(src_b, 0, 1)                # (NT+1, TS, W)
     su, sd = src_t[:, :, :hp], src_t[:, :, hp:]
-    al_u = jnp.where(pos, (su[1:] - su[:-1]) / safe, 0.0)
-    al_d = jnp.where(pos, (sd[1:] - sd[:-1]) / safe, 0.0)
-    # zero-thickness padding layers are identity steps (att = 1, b = 0)
-    bu = (1.0 - att) * (al_u * muh + su[:-1]) - al_u * att * dtau
-    bd = (1.0 - att) * (-al_d * muh + sd[1:]) + al_d * att * dtau
 
     # pad instances to the sublane block and levels to the chunk size;
     # padding levels are identity steps appended after the ground (down
@@ -168,36 +165,57 @@ def sweep_flat_batched(h_b, muh, src_b, bc_b):
     ch = min(_CHUNK, ((nt + _UNROLL - 1) // _UNROLL) * _UNROLL) if nt else 1
     tsp = ((ts + _BLOCK - 1) // _BLOCK) * _BLOCK
     ntp = ((nt + ch - 1) // ch) * ch
-    att = _pad_axis(_pad_axis(att, 1, tsp), 0, ntp, 1.0)
-    bu = _pad_axis(_pad_axis(bu, 1, tsp), 0, ntp)
-    bd = _pad_axis(_pad_axis(bd, 1, tsp), 0, ntp)
+    # (NTP, TSP, 1): all level-major operands slice along the sublane axis
+    # (a (CH, 8) block would violate the TPU lane-dim blocking rule)
+    dtau = _pad_axis(_pad_axis(dtau, 1, tsp), 0, ntp)[:, :, None]
+    rdtau = _pad_axis(_pad_axis(rdtau, 1, tsp), 0, ntp)[:, :, None]
+    sdsh = _pad_axis(_pad_axis(sd[1:], 1, tsp), 0, ntp)     # sd[i+1] rows
+    sd0 = _pad_axis(sd[0], 0, tsp)
+    suN = _pad_axis(su[nt], 0, tsp)
+    sulo = _pad_axis(su[:nt], 1, tsp)                       # su[i] rows
+    if ntp > nt:
+        # pad rows carry su[NT] so the up-sweep hi-chain survives the
+        # reversed walk across the padding levels
+        sulo = jnp.concatenate(
+            [sulo, jnp.broadcast_to(suN[None], (ntp - nt, tsp, hp))], axis=0)
     bc = _pad_axis(bc_b, 0, tsp)
+    mu2 = muh.astype(dtype)[None]                           # (1, HP)
+    rmu2 = (1.0 / muh.astype(dtype))[None]
 
     nb, nc = tsp // _BLOCK, ntp // ch
+    col_blk = pl.BlockSpec((ch, _BLOCK, 1), lambda g, c: (c, g, 0),
+                           memory_space=pltpu.VMEM)
+    col_blk_rev = pl.BlockSpec(
+        (ch, _BLOCK, 1), lambda g, c, _nc=nc: (_nc - 1 - c, g, 0),
+        memory_space=pltpu.VMEM)
     level_blk = pl.BlockSpec((ch, _BLOCK, hp), lambda g, c: (c, g, 0),
                              memory_space=pltpu.VMEM)
     level_blk_rev = pl.BlockSpec(
         (ch, _BLOCK, hp), lambda g, c, _nc=nc: (_nc - 1 - c, g, 0),
         memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((1, _BLOCK, hp), dtype)]
+    mu_blk = pl.BlockSpec((1, hp), lambda g, c: (0, 0),
+                          memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((_BLOCK, hp), lambda g, c: (g, 0),
+                           memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((1, _BLOCK, hp), dtype),
+               pltpu.VMEM((1, _BLOCK, hp), dtype)]
 
     dn = pl.pallas_call(
         _dn_kernel, grid=(nb, nc),
-        in_specs=[level_blk, level_blk],
+        in_specs=[col_blk, col_blk, mu_blk, mu_blk, level_blk, row_blk],
         out_specs=level_blk,
         out_shape=jax.ShapeDtypeStruct((ntp, tsp, hp), dtype),
-        scratch_shapes=scratch,
-    )(att, bd)
+        scratch_shapes=scratch, interpret=interpret,
+    )(dtau, rdtau, mu2, rmu2, sdsh, sd0)
 
     up = pl.pallas_call(
         _up_kernel, grid=(nb, nc),
-        in_specs=[level_blk_rev, level_blk_rev,
-                  pl.BlockSpec((_BLOCK, hp), lambda g, c: (g, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[col_blk_rev, col_blk_rev, mu_blk, mu_blk, level_blk_rev,
+                  row_blk, row_blk],
         out_specs=level_blk_rev,
         out_shape=jax.ShapeDtypeStruct((ntp, tsp, hp), dtype),
-        scratch_shapes=scratch,
-    )(att, bu, bc)
+        scratch_shapes=scratch, interpret=interpret,
+    )(dtau, rdtau, mu2, rmu2, sulo, suN, bc)
 
     # assemble (NT+1, TSP, W): up rows are levels 0..NT-1 + bc at ground;
     # down rows are zero at TOA + levels 1..NT

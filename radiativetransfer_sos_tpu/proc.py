@@ -613,10 +613,12 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
                 ig_per_order=[int(v) for v in ig[t]],
                 stop_per_order=[names[int(c)] for c in code[t]])
 
-    # --- aggregation (C18): AIK-weighted contraction over the batch axis
+    # --- aggregation (C18): AIK-weighted contraction over the batch axis.
+    # One vmapped stop-mask call for the whole term batch: at a real 1 cm^-1
+    # CKD product (hundreds-thousands of terms) a per-term host loop here
+    # would put thousands of dispatches on the output path
     i3z = np.asarray(res.i3z)               # (terms, S, 3, D)
-    mask = np.stack([np.asarray(solver.fourier_stop_mask(
-        np.asarray(res.i3bnd)[k])) for k in range(n_terms)])
+    mask = np.asarray(jax.vmap(solver.fourier_stop_mask)(res.i3bnd))
     recs = np.einsum("t,ts,tscd->scd", aik, mask.astype(np.float64), i3z)
     emoins = float(aik @ np.asarray(res.emoins).reshape(n_terms))
     eplus = float(aik @ np.asarray(res.eplus).reshape(n_terms))
@@ -677,35 +679,29 @@ def trphi_option(cfg: SosConfig, res: SosResults) -> SosResults:
         phis_deg = np.arange(0.0, 360.0 + 1e-9, cfg.view.dphi_deg)
 
     n = grid.n
-    nphi = phis_deg.shape[0]
-    out = {k: np.zeros((nphi, n)) for k in
-           ("i", "q", "u", "pol_ang", "pol_rate", "l_pol", "sca")}
-    dn = {k: np.zeros((nphi, n)) for k in out}
+    phis = np.radians(phis_deg)
+    # one recomposition matmul over every requested azimuth + one
+    # broadcasted add-back pass (the reference loops SOS_TRPHI once per
+    # azimuth -- 361 passes at Dphi = 1, src/SOS_TRPHI.F:431-615)
+    f = np.asarray(recompose.recompose(jnp.asarray(res.records_up), phis))
+    xit, xqt, xut = recompose.add_direct_terms(
+        f[:, 0], f[:, 1], f[:, 2], grid.mu, grid.imus, grid.mus,
+        res.ttot_tronc, res.tauout, phis, terms, cfg.ipolar)
 
-    for ip, phid in enumerate(phis_deg):
-        phi = np.radians(phid)
-        f = np.asarray(recompose.recompose(jnp.asarray(res.records_up), phi))
-        xit, xqt, xut = f[0], f[1], f[2]
-        xit, xqt, xut = recompose.add_direct_terms(
-            xit, xqt, xut, grid.mu, grid.imus, grid.mus, res.ttot_tronc,
-            res.tauout, phi, terms, cfg.ipolar)
-        ups = slice(n + 1, 2 * n + 1)
-        # downward directions of the signed axis are stored mirrored
-        for tabs, sl, flip in ((out, ups, False), (dn, slice(0, n), True)):
-            xi = xit[sl][::-1] if flip else xit[sl]
-            xq = xqt[sl][::-1] if flip else xqt[sl]
-            xu = xut[sl][::-1] if flip else xut[sl]
-            ang, rate, lpol = recompose.polar_params(xi, xq, xu)
-            tabs["i"][ip] = xi
-            tabs["q"][ip] = xq
-            tabs["u"][ip] = xu
-            tabs["pol_ang"][ip] = ang
-            tabs["pol_rate"][ip] = rate
-            tabs["l_pol"][ip] = lpol
-        sca = recompose.scattering_angles(
-            np.concatenate([-grid.mu, grid.mu]), grid.mus, phi)
-        out["sca"][ip] = sca[n:]
-        dn["sca"][ip] = sca[:n]
+    out, dn = {}, {}
+    ups = slice(n + 1, 2 * n + 1)
+    # downward directions of the signed axis are stored mirrored
+    for tabs, sl, flip in ((out, ups, False), (dn, slice(0, n), True)):
+        xi = xit[:, sl][:, ::-1] if flip else xit[:, sl]
+        xq = xqt[:, sl][:, ::-1] if flip else xqt[:, sl]
+        xu = xut[:, sl][:, ::-1] if flip else xut[:, sl]
+        ang, rate, lpol = recompose.polar_params(xi, xq, xu)
+        tabs.update(i=xi, q=xq, u=xu, pol_ang=ang, pol_rate=rate,
+                    l_pol=lpol)
+    sca = recompose.scattering_angles(
+        np.concatenate([-grid.mu, grid.mu]), grid.mus, phis[:, None])
+    out["sca"] = sca[:, n:]
+    dn["sca"] = sca[:, :n]
 
     res.phi = phis_deg
     res.theta = grid.theta_deg

@@ -158,19 +158,24 @@ def maignan_g(c0, c1, s12, phi, coef_c):
 
 def add_direct_terms(xit, xqt, xut, mu_pos, n0_idx, mus, tau, tauout, phi,
                      terms: DirectTerms, ipolar: bool = True):
-    """Add the analytic sun direct-reflection terms for one azimuth.
+    """Add the analytic sun direct-reflection terms, vectorized over azimuths.
 
-    ``xit/xqt/xut``: signed arrays (D,), modified copies returned.
-    Reference ``src/SOS_TRPHI.F:944-1200``.
+    ``phi``: scalar or (P,) radians; ``xit/xqt/xut``: signed arrays (D,) or
+    (P, D) matching ``phi``.  All azimuth rows are processed in one
+    broadcasted pass (the reference loops ``src/SOS_TRPHI.F:944-1200`` once
+    per azimuth; at Dphi = 1 that is 361 passes).  Modified copies returned
+    with the input's shape.
     """
+    scalar = np.ndim(phi) == 0
+    phi = np.atleast_1d(np.asarray(phi, dtype=float))[:, None]   # (P, 1)
+    xit = np.atleast_2d(np.array(xit, dtype=float))              # (P, D)
+    xqt = np.atleast_2d(np.array(xqt, dtype=float))
+    xut = np.atleast_2d(np.array(xut, dtype=float))
+
     n = mu_pos.shape[0]
     c0 = -mus            # = RMU(N0) > 0
     up = slice(n + 1, 2 * n + 1)
     at0 = np.exp(-tau / c0)
-
-    xit = np.array(xit)
-    xqt = np.array(xqt)
-    xut = np.array(xut)
 
     if terms.igli:
         sig2 = 0.003 + 0.00512 * terms.wind
@@ -179,20 +184,22 @@ def add_direct_terms(xit, xqt, xut, mu_pos, n0_idx, mus, tau, tauout, phi,
         coskip, cosdif = rotation_angles(c0, mu_pos, phi)
         r11, r12, _ = fresnel_reflection(cosdif, terms.ind_surf)
         m11, m21, m31 = meridian_rotation(coskip, r11, r12)
-        xit[up] += m11 * atj * p
+        xit[:, up] += m11 * atj * p
         if ipolar:
-            xqt[up] += m21 * atj * p
-            xut[up] += m31 * atj * p
+            xqt[:, up] += m21 * atj * p
+            xut[:, up] += m31 * atj * p
 
-    if terms.ifresnel and np.cos(phi) == 1.0 and n0_idx >= 0:
+    if terms.ifresnel and n0_idx >= 0:
+        # only at exact forward azimuth (cos phi == 1), per reference
+        hit = np.cos(phi[:, 0]) == 1.0
         atj = at0 * np.exp(-(tau - tauout) / c0)
         cosdif = 1.0 - 2.0 * c0 * c0
         r11, r12, _ = fresnel_reflection(cosdif, terms.ind_surf)
         coef_sun = np.pi / cte.SOLAR_DISC_SOLID_ANGLE
         d0 = n + 1 + n0_idx
-        xit[d0] += r11 * coef_sun * atj
+        xit[hit, d0] += r11 * coef_sun * atj
         if ipolar:
-            xqt[d0] += r12 * coef_sun * atj
+            xqt[hit, d0] += r12 * coef_sun * atj
 
     if terms.iroujean:
         s0 = np.sqrt(1.0 - c0 * c0)
@@ -200,7 +207,7 @@ def add_direct_terms(xit, xqt, xut, mu_pos, n0_idx, mus, tau, tauout, phi,
         atj = at0 * np.exp(-(tau - tauout) / mu_pos)
         f = roujean_brdf(terms.k0, terms.k1, terms.k2, c0, s0, mu_pos, s1,
                          np.pi - phi)
-        xit[up] += atj * f / mu_pos
+        xit[:, up] += atj * f / mu_pos
 
     if terms.irondeaux or terms.ibreon or terms.imaignan:
         atj = at0 * np.exp(-(tau - tauout) / mu_pos)
@@ -216,10 +223,10 @@ def add_direct_terms(xit, xqt, xut, mu_pos, n0_idx, mus, tau, tauout, phi,
             s12 = np.sqrt(1.0 - c0 * c0) * s1
             p = maignan_g(c0, mu_pos, s12, phi, terms.coef_c_maignan)
             p = p / (4.0 * mu_pos)
-        xit[up] += m11 * atj * p
+        xit[:, up] += m11 * atj * p
         if ipolar:
-            xqt[up] += m21 * atj * p
-            xut[up] += m31 * atj * p
+            xqt[:, up] += m21 * atj * p
+            xut[:, up] += m31 * atj * p
 
     if terms.inadal:
         atj = at0 * np.exp(-(tau - tauout) / mu_pos)
@@ -232,15 +239,17 @@ def add_direct_terms(xit, xqt, xut, mu_pos, n0_idx, mus, tau, tauout, phi,
         p = np.where(f21f < 1.0e-10,
                      terms.alpha_nadal * terms.beta_nadal / (c0 + mu_pos),
                      f21n / np.where(f21f == 0.0, 1.0, f21f))
-        xit[up] += m11 * atj * p
+        xit[:, up] += m11 * atj * p
         if ipolar:
-            xqt[up] += m21 * atj * p
-            xut[up] += m31 * atj * p
+            xqt[:, up] += m21 * atj * p
+            xut[:, up] += m31 * atj * p
 
     # zero out numerically negligible terms (src/SOS_TRPHI.F:1207-1218)
     xit = np.where(xit <= 1.0e-99, 0.0, xit)
     xqt = np.where(np.abs(xqt) < cte.THRESHOLD_Q_U_NULL, 0.0, xqt)
     xut = np.where(np.abs(xut) < cte.THRESHOLD_Q_U_NULL, 0.0, xut)
+    if scalar:
+        return xit[0], xqt[0], xut[0]
     return xit, xqt, xut
 
 

@@ -713,7 +713,7 @@ def interp_zout(acc, zprof, h, zout):
     return i3z, tauout
 
 
-@_partial(jax.jit, static_argnames=("s0", "block", "n_s", "seuil_sf"))
+@_partial(jax.jit, static_argnames=("block", "n_s", "seuil_sf"))
 def _stop_step(i4, i5, found, bnd, s0, block, n_s, seuil_sf):
     """On-device SOS_ARRET_FOURIER accumulator step for one order block.
 
@@ -722,6 +722,7 @@ def _stop_step(i4, i5, found, bnd, s0, block, n_s, seuil_sf):
     (``src/SOS_OS.F:3709-3796``) and a per-term ``found`` flag; returns the
     updated carry plus a single scalar ``all_found`` — the only value the
     host ever reads, so one block costs one tiny device-to-host sync.
+    ``s0`` is traced so one compilation serves every block.
     """
     s_abs = s0 + jnp.arange(block)
     coef = jnp.where(s_abs == 0, 1.0, 2.0)[None, :, None, None]
@@ -787,8 +788,12 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
     k_mol = pad_s(inp.k_mol)
     rmat = pad_s(inp.surface.rmat) if inp.surface.rmat is not None else None
 
-    # device-resident SOS_ARRET_FOURIER carry (src/SOS_OS.F:3709-3796)
-    acc_dtype = inp.h.dtype
+    # device-resident SOS_ARRET_FOURIER carry (src/SOS_OS.F:3709-3796).
+    # The reference accumulates these sums in DOUBLE PRECISION; use f64
+    # whenever the runtime offers it (cheap — the carry is a tiny (T, 3, D)
+    # tensor) so long cumulative sums cannot flip stop decisions near
+    # seuil_sf in f32 runs.
+    acc_dtype = jnp.float64 if jax.config.x64_enabled else inp.h.dtype
     i4 = jnp.zeros((t_n, 3, d), acc_dtype)
     i5 = jnp.zeros((t_n, 3, d), acc_dtype)
     found = jnp.zeros((t_n,), bool)

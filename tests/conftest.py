@@ -14,7 +14,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-os.makedirs("/root/.cache/jax_cc", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
+_cc_dir = os.environ.get(
+    "RTSOS_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".cache",
+                                    "jax_cc"))
+os.makedirs(_cc_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cc_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
