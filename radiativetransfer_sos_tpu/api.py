@@ -209,18 +209,8 @@ def config_from_keywords(kw: dict) -> SosConfig:
     if unknown:
         raise ValueError(f"unknown keywords: {unknown}")
 
-    # keywords whose product files this framework does not (yet) write —
-    # loud, not silent (VERDICT round-1 weak #8); every other io keyword
-    # is honored by proc.run / api.write_result_files
-    _unproduced = ("-ANG.Log", "-AER.Log", "-AER.MieLog", "-AP.Log",
-                   "-SURF.Log", "-SOS.Log", "-SURF.File", "-AER.UserFile")
-    for k in _unproduced:
-        if k in io:
-            import warnings
-            warnings.warn(
-                f"keyword {k} accepted for migration parity but its "
-                "product file is not implemented; nothing will be written "
-                "for it (per-stage tracing goes to -SOS_Main.Log)")
+    # every io keyword above is honored: product files and per-module logs
+    # by proc.run, result files by api.write_result_files
     cfg.io = io
     return cfg
 

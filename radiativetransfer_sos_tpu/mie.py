@@ -340,6 +340,13 @@ def run_mie_sweep(mu, rn, in_, alpha_min, alpha_max, batch: int = 256,
                        for f in MieResult._fields])
 
 
+#: optional Mie-sweep observer: when proc.run is writing an ``-AER.MieLog``
+#: it sets this to a list and every (possibly cache-served) sweep appends a
+#: summary dict — the source of the per-alpha trace narration
+#: (``src/SOS_MIE.F:341-387``)
+SWEEP_LOG = None
+
+
 def run_mie_sweep_cached(mu, rn, in_, alpha_min, alpha_max,
                          batch: int = 256, dtype=jnp.float64) -> MieResult:
     """``run_mie_sweep`` through the product cache (the reference's Mie-file
@@ -351,4 +358,11 @@ def run_mie_sweep_cached(mu, rn, in_, alpha_min, alpha_max,
     out = memo("mie", params,
                lambda: run_mie_sweep(mu, rn, in_, alpha_min, alpha_max,
                                      batch, dtype)._asdict())
-    return MieResult(**out)
+    res = MieResult(**out)
+    if SWEEP_LOG is not None:
+        SWEEP_LOG.append(dict(rn=float(rn), in_=float(in_),
+                              alpha=np.asarray(res.alpha),
+                              qext=np.asarray(res.qext),
+                              qsca=np.asarray(res.qsca),
+                              g=np.asarray(res.g)))
+    return res

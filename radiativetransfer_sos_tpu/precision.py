@@ -39,10 +39,11 @@ REL_FLOOR = 1.0e-6
 
 #: acceptance thresholds for the f32 path vs the CPU f64 oracle on the
 #: pinned demo-shape case, in allclose form |f32 - f64| <= ATOL + RTOL*|f64|.
-#: Measured on TPU v5e (Pallas sweep + HIGHEST-precision matmuls): worst
-#: violation of rtol 2.6e-3 / atol 2.6e-6 — these bounds carry ~2x margin
-#: and still catch the two failure modes seen during bring-up (default
-#: bf16 matmuls: 3e1; associative-scan-on-TPU drift: 2e-1).
+#: Measured on TPU v5e: max abs error 4.5e-4 (HIGHEST matmuls) to 5.1e-4
+#: (DEFAULT bf16 matmuls, the production choice — see
+#: ``solver.MATMUL_PRECISION``); the bounds carry margin over both and
+#: still catch the associative-scan-on-TPU drift failure mode seen during
+#: bring-up (2e-1).
 F32_REL_TOL = 5.0e-3
 F32_ABS_TOL = 5.0e-6
 

@@ -373,8 +373,14 @@ def _transmissions(lum, hs, xds, yds, k_aer, k_mol, aik, igmax, ipolar):
     SOS_OS runs per CKD term (SURVEY.md §3.4).
     """
     n_terms = hs.shape[0]
+    n = lum.mu.shape[0]
     mus_all = np.concatenate([[lum.mus], -lum.mu])   # solar + Gauss (tab < 0)
     n_dir = mus_all.shape[0]
+    # primary-source kernel column per incidence: the solar center slot,
+    # then each Gauss direction's downward signed slot (the reference's
+    # reciprocity runs call SOS_OS with N0 = J, src/SOS.F:622-635, so the
+    # primary scattering couples through THAT direction's kernel column)
+    n0_cols = np.concatenate([[n], n - 1 - np.arange(n)])
 
     hb = jnp.asarray(np.repeat(hs, n_dir, axis=0))
     xb = jnp.asarray(np.repeat(xds, n_dir, axis=0))
@@ -385,6 +391,7 @@ def _transmissions(lum, hs, xds, yds, k_aer, k_mol, aik, igmax, ipolar):
         h=hb, xdel=xb, ydel=yb, k_aer=k_aer[:1], k_mol=k_mol[:1],
         mu_pos=jnp.asarray(lum.mu), w_pos=jnp.asarray(lum.w),
         tab=tabb, n0=0,
+        n0_col=jnp.asarray(np.tile(n0_cols, n_terms)),
         surface=solver.SurfaceInputs(rho=jnp.asarray(0.0)))
     opt = solver.SolveOptions(igmax=igmax, ipolar=ipolar)
     emoins = np.asarray(_solve_trans_batch(inp, opt)).reshape(n_terms, n_dir)
@@ -418,18 +425,21 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
             cfg.angles.nbmu_mie, cfg.angles.nbmu_lum)
 
     io = getattr(cfg, "io", {})
-    if "-ANG.Rad.ResFile" in io or "-ANG.Aer.ResFile" in io:
+    if io:
         from . import products
-        if "-ANG.Rad.ResFile" in io:
-            products.write_angles_file(
-                io["-ANG.Rad.ResFile"], lum.mu, lum.w, "LUM", os_nb,
-                cfg.angles.nbmu_lum, thetas_deg=cfg.angles.thetas_deg,
-                imus=lum.imus, os_ns=os_ns, os_nm=os_nm,
-                is_user=lum.is_user)
-        if "-ANG.Aer.ResFile" in io:
-            products.write_angles_file(
-                io["-ANG.Aer.ResFile"], mie_grid.mu, mie_grid.w, "MIE",
-                os_nb, cfg.angles.nbmu_mie)
+    if "-ANG.Rad.ResFile" in io:
+        products.write_angles_file(
+            io["-ANG.Rad.ResFile"], lum.mu, lum.w, "LUM", os_nb,
+            cfg.angles.nbmu_lum, thetas_deg=cfg.angles.thetas_deg,
+            imus=lum.imus, os_ns=os_ns, os_nm=os_nm,
+            is_user=lum.is_user)
+    if "-ANG.Aer.ResFile" in io:
+        products.write_angles_file(
+            io["-ANG.Aer.ResFile"], mie_grid.mu, mie_grid.w, "MIE",
+            os_nb, cfg.angles.nbmu_mie)
+    if "-ANG.Log" in io:
+        products.write_ang_log(io["-ANG.Log"], lum, mie_grid, os_nb,
+                               os_ns, os_nm, cfg.angles.thetas_deg)
 
     # --- molecular optical thickness
     tr = cfg.profile.mot
@@ -437,17 +447,59 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
         tr = rayleigh_mot(cfg.wavelength, cfg.profile.psurf)
 
     # --- aerosols (C5/C6)
-    with trace.stage("aerosols"):
-        aer_exp, ta = aerosol_properties(cfg, mie_grid)
+    from . import mie as mie_mod
+    if "-AER.MieLog" in io:
+        mie_mod.SWEEP_LOG = []
+    try:
+        with trace.stage("aerosols"):
+            if "-AER.UserFile" in io and cfg.aerosols.aot_ref > 0.0:
+                # consume a precomputed aerosol-expansion file instead of
+                # running the aerosol chain (src/SOS_PROC.F:2883-2933); no
+                # waref rescaling in this mode ("pas le cas si utilisation
+                # d'un fichier utilisateur", src/SOS_PROC.F:3028)
+                data = products.read_aerosols_file(io["-AER.UserFile"])
+                for key in ("alpha", "beta", "gamma", "zeta"):
+                    c = data[key]
+                    if c.shape[0] < os_nb + 1:
+                        c = np.pad(c, (0, os_nb + 1 - c.shape[0]))
+                    data[key] = c[: os_nb + 1]
+                aer_exp = AerosolExpansion(**data)
+                ta = float(cfg.aerosols.aot_ref)
+                trace.event("aerosols", userfile=io["-AER.UserFile"])
+            else:
+                aer_exp, ta = aerosol_properties(cfg, mie_grid)
+        if "-AER.MieLog" in io:
+            products.write_mie_log(io["-AER.MieLog"], mie_mod.SWEEP_LOG)
+    finally:
+        mie_mod.SWEEP_LOG = None
     trace.event("aerosols", ta=round(ta, 6),
                 coef_tronca=round(aer_exp.coef_tronca, 6))
     if "-AER.ResFile" in io:
-        from . import products
         products.write_aerosols_file(io["-AER.ResFile"], aer_exp)
+    if "-AER.Log" in io:
+        products.write_aer_log(io["-AER.Log"], aer_exp, ta)
 
     # --- surface (C7-C11)
     with trace.stage("surface"):
-        rmat = surface_matrices(cfg, lum)
+        import os as _os
+        surf_file = io.get("-SURF.File")
+        if surf_file and _os.path.exists(surf_file):
+            # explicit surface-matrix file named by the user: read it back
+            # instead of recomputing (the reference's existence check,
+            # src/SOS_SURFACE.F:585-603)
+            rmat = products.read_surface_bin(surf_file, lum.mu.shape[0])
+        else:
+            rmat = surface_matrices(cfg, lum)
+            if surf_file and rmat is not None:
+                products.write_surface_bin(surf_file, rmat)
+    if "-SURF.Log" in io:
+        s_ = cfg.surface
+        products.write_surf_log(
+            io["-SURF.Log"], s_.type,
+            {k: getattr(s_, k) for k in ("alb", "ind", "wind", "k0", "k1",
+                                         "k2", "alpha_nadal", "beta_nadal",
+                                         "coef_c_maignan")
+             if getattr(s_, k) != UNSET}, rmat)
     isurf = cfg.surface.type
     igli = isurf == 1
     ifresnel = isurf == 2
@@ -525,6 +577,9 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
     yds = np.stack(yds)
     zprofs = np.stack(zprofs)
     ttot_tronc_terms = hs[:, -1]
+    if "-AP.Log" in io:
+        products.write_ap_log(io["-AP.Log"], hs, xds, yds, zprofs,
+                              ttot_vrai_terms)
 
     # --- Fourier order cap: pure Rayleigh cuts at IS <= 2 (src/SOS.F:546-550)
     pure_rayleigh = bool(np.all(xds == 0.0))
@@ -612,6 +667,10 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
                 "scattering.orders", term=t,
                 ig_per_order=[int(v) for v in ig[t]],
                 stop_per_order=[names[int(c)] for c in code[t]])
+        if "-SOS.Log" in io:
+            products.write_sos_log(io["-SOS.Log"], ig, code,
+                                   np.asarray(res.emoins),
+                                   np.asarray(res.eplus))
 
     # --- aggregation (C18): AIK-weighted contraction over the batch axis.
     # One vmapped stop-mask call for the whole term batch: at a real 1 cm^-1

@@ -46,10 +46,14 @@ class DirectTerms(NamedTuple):
 
 
 def scattering_angles(mu_signed, mus, phi):
-    """Scattering angle (deg) per signed direction (``src/SOS_TRPHI.F:886-896``)."""
-    c0 = mus
-    cosdif = -c0 * mu_signed + np.sin(np.arccos(c0)) \
-        * np.sin(np.arccos(mu_signed)) * np.cos(phi)
+    """Scattering angle (deg) per signed direction (``src/SOS_TRPHI.F:886-896``).
+
+    ``C0 = RMU(N0) > 0`` in the reference; ``mus`` here is the (negative)
+    incidence cosine, so ``c0 = -mus``.
+    """
+    c0 = -mus
+    cosdif = -c0 * mu_signed + np.sqrt(1.0 - c0 ** 2) \
+        * np.sqrt(np.clip(1.0 - mu_signed ** 2, 0.0, None)) * np.cos(phi)
     return np.degrees(np.arccos(np.clip(cosdif, -1.0, 1.0)))
 
 
@@ -64,7 +68,9 @@ def recompose(records, phi):
     coef = jnp.where(s == 0, 1.0, 2.0)
     ang = phi_arr[:, None] * s[None, :]
     wc = coef * jnp.cos(ang)           # (P, S) for I and Q
-    ws = coef * jnp.sin(ang)           # (P, S) for U
+    # the IS = 0 record enters U unweighted (``XUT(J) = U3(J)``,
+    # src/SOS_TRPHI.F:918); higher orders carry 2 sin(s phi)
+    ws = jnp.where(s[None, :] == 0, 1.0, coef * jnp.sin(ang))
     out_iq = jnp.einsum("ps,scd->pcd", wc, records[:, :2])
     out_u = jnp.einsum("ps,scd->pcd", ws, records[:, 2:])
     out = jnp.concatenate([out_iq, out_u], axis=1)

@@ -51,6 +51,20 @@ from jax import lax
 
 from . import constants as cte
 
+#: matmul precision of the scattering-source contraction, overridable via
+#: ``RTSOS_MATMUL_PRECISION`` (DEFAULT | HIGH | HIGHEST).  Measured r3 on
+#: v5e (demo-shape f32 solve vs CPU f64 oracle, all-orders terms/s):
+#: DEFAULT 40.2/s err 5.1e-4, HIGH 36.6/s err 4.5e-4, HIGHEST 34.4/s err
+#: 4.5e-4 — the end-to-end f32 error is sweep-dominated, so the single-pass
+#: bf16 matmul costs ~1e-4 of absolute accuracy and buys +17% throughput;
+#: all three pass the precision gate (bench.py hard-fails if that stops
+#: holding).
+import os as _os
+
+MATMUL_PRECISION = getattr(
+    lax.Precision, _os.environ.get("RTSOS_MATMUL_PRECISION",
+                                   "DEFAULT").upper())
+
 
 class SurfaceInputs(NamedTuple):
     """Ground boundary description for one solve.
@@ -87,6 +101,11 @@ class SolveInputs(NamedTuple):
     # 0.0); None = the leading kernel slice is order 0.  Lets a caller
     # dispatch a sub-range of orders (solve_fourier_blocked)
     is0: Optional[jnp.ndarray] = None
+    # (T,) per-term signed-axis index of the primary-beam incidence
+    # direction in the kernels' D axis; None = the solar center slot n.
+    # Reciprocity transmission runs (src/SOS.F:622-635 call SOS_OS with
+    # N0 = J) set this to each Gauss direction's downward slot
+    n0_col: Optional[jnp.ndarray] = None
 
 
 class SolveOptions(NamedTuple):
@@ -182,16 +201,21 @@ def _flat_operator(k, w_pos):
     return out.reshape(s_n, 2 * hp, 2 * hp)
 
 
-def _flat_solar_col(k):
-    """Per-order solar columns ``P[so, 0](dir_out, sun)`` in flat layout.
+def _flat_solar_col(k, d_idx=None):
+    """Per-order incidence columns ``P[so, 0](dir_out, inc)`` in flat layout.
 
     (S, 3, 3, D, D) -> (S, W); reference ``SOS_FSOURCE_ORDRE1`` reads the
-    phase kernels at the exact solar direction (``src/SOS_OS.F:2431``).
+    phase kernels at the exact incidence direction (``src/SOS_OS.F:2431``)
+    — the solar center slot by default, or the (possibly traced) signed
+    index ``d_idx`` for reciprocity transmission runs.
     """
     d = k.shape[-1]
     n = (d - 1) // 2
     hp = _half_pad(n)
-    col = k[:, :, 0, :, n]                   # (S, 3, D) over output dirs
+    if d_idx is None:
+        col = k[:, :, 0, :, n]               # (S, 3, D) over output dirs
+    else:
+        col = jnp.take(k[:, :, 0, :, :], d_idx, axis=-1)
     up = col[..., n + 1:]
     dn = jnp.flip(col[..., :n], axis=-1)
     out = jnp.zeros((k.shape[0], 2, hp), k.dtype)
@@ -296,13 +320,8 @@ def _scatter_flat(mboth, xdel, ydel, field):
     """
     f2 = jnp.concatenate([xdel[:, None] * field, ydel[:, None] * field],
                          axis=-1)
-    # HIGHEST precision: the default TPU f32 matmul multiplies in bfloat16,
-    # whose error compounds over the ~30-order scattering recursion (f32
-    # drift vs f64 measured at demo shape: 3e1 default vs 6e-4 highest —
-    # precision.py gate); the solve is not MXU-bound at these widths, so
-    # the multi-pass f32 matmul costs nothing end to end
     return jnp.matmul(f2, mboth, preferred_element_type=field.dtype,
-                      precision=lax.Precision.HIGHEST)
+                      precision=MATMUL_PRECISION)
 
 
 def _primary_flat(col_a, col_m, xdel, ydel, h, tab):
@@ -404,6 +423,8 @@ def _surface_reflect_flat(ground_dn, inp: SolveInputs, opt: SolveOptions,
     lsol = 2.0 * rho * jnp.sum(w * mu * gd[0]) * is0
     bc = jnp.zeros_like(gd).at[0].set(lsol)
     if opt.imat_surf:
+        # tiny (3,3,n,n)x(3,n) op once per scattering order: HIGHEST costs
+        # nothing here and keeps the glitter ground coupling at full f32
         v = jnp.einsum("xyjk,yj->xk", rmat_s, gd * w,
                        precision=lax.Precision.HIGHEST)
         bc = bc + 2.0 * v / mu
@@ -648,7 +669,16 @@ def solve_fourier_batch(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
             h=inp.h[t_idx], xdel=inp.xdel[t_idx], ydel=inp.ydel[t_idx],
             tab=inp.tab[t_idx] if tab_batched else inp.tab,
             zprof=None if inp.zprof is None else inp.zprof[t_idx])
-        return _solve_one_order(mboth[s_idx], col_a[s_idx], col_m[s_idx],
+        if inp.n0_col is not None:
+            # per-term incidence direction (reciprocity runs): gather the
+            # primary-source kernel column at that direction
+            ca = _flat_solar_col(inp.k_aer[s_idx][None],
+                                 inp.n0_col[t_idx])[0]
+            cm = _flat_solar_col(inp.k_mol[s_idx][None],
+                                 inp.n0_col[t_idx])[0]
+        else:
+            ca, cm = col_a[s_idx], col_m[s_idx]
+        return _solve_one_order(mboth[s_idx], ca, cm,
                                 inp.k_aer[s_idx], inp.k_mol[s_idx],
                                 rmat[s_idx], is0[s_idx], inner, opt)
 
