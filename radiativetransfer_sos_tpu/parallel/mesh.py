@@ -182,7 +182,11 @@ def solve_terms_sharded(mesh: Mesh, inp: solver.SolveInputs,
         pad = [(0, n_sp - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, pad)
 
-    is0 = jnp.zeros((n_sp,), dtype=inp.h.dtype).at[0].set(1.0)
+    if inp.is0 is not None:
+        # caller dispatches a sub-range of absolute orders (blocked driver)
+        is0 = pad_s(inp.is0.astype(inp.h.dtype))
+    else:
+        is0 = jnp.zeros((n_sp,), dtype=inp.h.dtype).at[0].set(1.0)
     inp = inp._replace(
         k_aer=pad_s(inp.k_aer), k_mol=pad_s(inp.k_mol),
         surface=inp.surface._replace(rmat=pad_s(inp.surface.rmat)),
@@ -192,7 +196,8 @@ def solve_terms_sharded(mesh: Mesh, inp: solver.SolveInputs,
     flags = (inp.surface.rmat is None, inp.surface.f11 is None,
              inp.surface.f12 is None, inp.surface.f33 is None,
              inp.surface.ind_surf is None, inp.zprof is None,
-             inp.zout_km is None, jnp.ndim(inp.tab) == 1)
+             inp.zout_km is None, jnp.ndim(inp.tab) == 1,
+             inp.n0_col is None)
     fn = _sharded_solver(mesh, opt, n0, flags, n_fourier > 1)
     res = fn(inp._replace(n0=None))
     if n_sp != n_s:   # drop the zero-padded orders
@@ -200,11 +205,34 @@ def solve_terms_sharded(mesh: Mesh, inp: solver.SolveInputs,
     return res
 
 
+def solve_terms_sharded_blocked(mesh: Mesh, inp: solver.SolveInputs,
+                                opt: solver.SolveOptions, block: int = 16):
+    """Blocked Fourier dispatch composed with the scene-sharded term solve.
+
+    When the mesh has no fourier axis (or size 1), the sequential Fourier
+    early exit (``SOS_ARRET_FOURIER``) composes cleanly with scene
+    sharding: each order block is one sharded term-solve, the stop test
+    runs on the gathered (tiny) boundary records, and converged batches
+    skip the remaining order blocks exactly like the single-chip driver.
+
+    When the fourier axis is sharded (> 1), the orders are solved in
+    PARALLEL across devices — a sequential early exit would serialize the
+    axis it exists to parallelize, so the all-orders sharded solve is used
+    and later orders are zeroed by the caller's post-hoc stop mask instead
+    (same results; the "wasted" orders ride otherwise-idle devices).
+    """
+    if mesh.shape.get("fourier", 1) > 1:
+        return solve_terms_sharded(mesh, inp, opt)
+    return solver.solve_fourier_blocked(
+        inp, opt, block=block,
+        solve_fn=lambda i, o: solve_terms_sharded(mesh, i, o))
+
+
 @_functools.lru_cache(maxsize=None)
 def _sharded_solver(mesh, opt, n0, flags, shard_fourier):
     """Jitted shard_map solver, cached on (mesh, options, input structure)."""
     (no_rmat, no_f11, no_f12, no_f33, no_ind, no_zprof, no_zout,
-     tab_batched) = flags
+     tab_batched, no_n0col) = flags
     from jax.sharding import PartitionSpec as P
 
     four = "fourier" if shard_fourier else None
@@ -228,7 +256,8 @@ def _sharded_solver(mesh, opt, n0, flags, shard_fourier):
         n0=None, surface=surf_specs,
         zprof=None if no_zprof else term_l,
         zout_km=None if no_zout else rep,
-        is0=k_spec)
+        is0=k_spec,
+        n0_col=None if no_n0col else term)
     out_specs = solver.FourierResult(
         i3z=term_s, i3bnd=term_s, emoins=term, eplus=term, tauout=term,
         ig_last=term_s, stop_code=term_s)

@@ -633,17 +633,23 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
         zout_km=jnp.asarray(float(cfg.view.zout_km)) if use_zout else None)
     with trace.stage("solve"):
         if mesh is not None:
-            from .parallel import solve_terms_sharded
-            res = solve_terms_sharded(mesh, inp, opt)
+            # scene-sharded terms; blocked Fourier early exit composes when
+            # the fourier axis is unsharded (solve_terms_sharded_blocked
+            # docstring for the sharded-fourier rationale)
+            from .parallel import solve_terms_sharded_blocked
+            res = solve_terms_sharded_blocked(mesh, inp, opt)
         elif iborm + 1 > 24 and n_terms * (iborm + 1) >= 1024:
             # block dispatch with the reference's sequential Fourier early
             # exit (SOS_ARRET_FOURIER) — skips orders the post-hoc mask
             # would zero anyway.  Only pays off once the (terms x orders)
             # batch is large enough to keep the chip busy per block
-            # (measured crossover ~16 terms at demo shape on v5e; small
+            # (measured r3 on v5e, demo shape NT=600/NBMU=41/IBORM=80:
+            # blocked 75.1 vs all-orders 40.3 terms/s at 16 terms; small
             # batches are dispatch-latency-bound and the all-orders batch
-            # wins)
-            res = solver.solve_fourier_blocked(inp, opt)
+            # wins).  The term axis is chunked at 256: measured throughput
+            # peaks there (121 terms/s vs 103 at 64) and a 512-term
+            # single dispatch exceeds HBM at compile time
+            res = solver.solve_fourier_blocked_chunked(inp, opt)
         else:
             res = _solve_batch(inp, opt, n_terms)
         res = jax.tree_util.tree_map(

@@ -775,8 +775,8 @@ def _stop_step(i4, i5, found, bnd, s0, block, n_s, seuil_sf):
 
 def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
                           block: int = 16,
-                          seuil_sf: float = cte.PH_SEUIL_SF
-                          ) -> FourierResult:
+                          seuil_sf: float = cte.PH_SEUIL_SF,
+                          solve_fn=None) -> FourierResult:
     """Dispatch the Fourier orders in blocks with the sequential early exit.
 
     The reference's IS loop leaves at the first order whose relative
@@ -841,6 +841,8 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
             surface=inp.surface._replace(
                 rmat=None if rmat is None else rmat[blk]),
             is0=is0)
+        if solve_fn is not None:     # e.g. the mesh-sharded term solve
+            return solve_fn(inp_b, opt)
         return solve_fourier_batch_jit(inp_b, opt)   # async
 
     def process(s0, res_b):
@@ -890,6 +892,77 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
     return FourierResult(i3z=i3z, i3bnd=i3bnd,
                          emoins=emoins, eplus=eplus, tauout=tauout,
                          ig_last=ig_last, stop_code=stop_code)
+
+
+def solve_fourier_blocked_chunked(inp: SolveInputs, opt: SolveOptions,
+                                  block: int = 16, term_chunk: int = 256,
+                                  seuil_sf: float = cte.PH_SEUIL_SF,
+                                  solve_fn=None) -> FourierResult:
+    """Blocked Fourier dispatch with the CKD-term axis chunked.
+
+    At production CKD term counts (hundreds-thousands, ``inc/SOS.h:278-292``)
+    a single (terms x block-orders) dispatch exceeds HBM — measured r3 on
+    v5e: 512 terms x 16 orders at demo shape fails to compile, while 256
+    terms runs at peak throughput (121 terms/s vs 103 at 64 terms).  Terms
+    are split into equal chunks of <= ``term_chunk`` (one compiled
+    executable serves all chunks) and each chunk early-exits its Fourier
+    loop independently — finer-grained than the all-terms stop, identical
+    results after :func:`fourier_stop_mask`.
+    """
+    t_n = inp.h.shape[0]
+    if t_n <= term_chunk:
+        return solve_fourier_blocked(inp, opt, block, seuil_sf, solve_fn)
+    n_chunks = -(-t_n // term_chunk)
+    size = -(-t_n // n_chunks)
+    tp = n_chunks * size
+
+    def padt(x):
+        if x is None or jnp.ndim(x) == 0:
+            return x
+        if x.shape[0] != t_n:
+            return x
+        pad = [(0, tp - t_n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad, mode="edge")
+
+    tab_b = jnp.ndim(inp.tab) == 1
+    h, xdel, ydel = padt(inp.h), padt(inp.xdel), padt(inp.ydel)
+    zprof = padt(inp.zprof)
+    tab = padt(inp.tab) if tab_b else inp.tab
+    n0_col = padt(inp.n0_col) if inp.n0_col is not None else None
+
+    parts = []
+    for c in range(n_chunks):
+        sl = slice(c * size, (c + 1) * size)
+        ci = inp._replace(
+            h=h[sl], xdel=xdel[sl], ydel=ydel[sl],
+            zprof=None if zprof is None else zprof[sl],
+            tab=tab[sl] if tab_b else tab,
+            n0_col=None if n0_col is None else n0_col[sl])
+        parts.append(solve_fourier_blocked(ci, opt, block, seuil_sf,
+                                           solve_fn))
+
+    # chunks early-exit at different order counts: zero-pad to the max
+    n_s_max = max(p.i3bnd.shape[1] for p in parts)
+
+    def cat(field):
+        outs = []
+        for p in parts:
+            x = getattr(p, field)
+            if x.shape[1] != n_s_max:
+                pad = [(0, 0), (0, n_s_max - x.shape[1])] \
+                    + [(0, 0)] * (x.ndim - 2)
+                x = jnp.pad(x, pad)
+            outs.append(x)
+        return jnp.concatenate(outs, axis=0)[:t_n]
+
+    def cat1(field):
+        return jnp.concatenate([jnp.atleast_1d(getattr(p, field))
+                                for p in parts], axis=0)[:t_n]
+
+    return FourierResult(
+        i3z=cat("i3z"), i3bnd=cat("i3bnd"),
+        emoins=cat1("emoins"), eplus=cat1("eplus"), tauout=cat1("tauout"),
+        ig_last=cat("ig_last"), stop_code=cat("stop_code"))
 
 
 def fourier_stop_mask(i3bnd, seuil_sf: float = cte.PH_SEUIL_SF):

@@ -89,7 +89,12 @@ def fourier_dyadic(g_fn, os_nm: int, n_bisect: int = 200):
             k = ip * j                              # (ia/2,)
             cosf = np.cos(s * k * q[..., None])     # (N, N, ia/2)
             y = 2.0 * np.sum(u[..., k] * cosf, axis=-1) / ia
-            xt = np.abs(z - y) / z
+            # guarded z == 0: converged only if y == 0 too (a bare
+            # |z-y|/z would raise and propagate inf/nan through the hit
+            # mask; reference test src/SOS_GLITTER.F:655)
+            diff = np.abs(z - y)
+            xt = np.where(z == 0.0, np.where(diff == 0.0, 0.0, np.inf),
+                          diff / np.where(z == 0.0, 1.0, z))
             hit = xt < 1.0e-4
             z = np.where(done_s | hit, z, 0.5 * (y + z))
             done_s = done_s | hit

@@ -67,3 +67,24 @@ def test_blocked_with_surface_matrices():
     blk = solver.solve_fourier_blocked(inp, opt, block=8)
     np.testing.assert_allclose(_masked(blk, 2), _masked(full, 2),
                                rtol=1e-12, atol=1e-300)
+
+
+def test_chunked_matches_full():
+    """Term-chunked blocked dispatch == all-orders batch after the stop
+    mask, across uneven chunk boundaries."""
+    prob = precision.demo_problem(jnp.float64, n_gauss=8, nt=40, os_nb=24,
+                                  igmax=15, n_terms=7)
+    full = solver.solve_fourier_batch_jit(prob.inp, prob.opt)
+    chk = solver.solve_fourier_blocked_chunked(prob.inp, prob.opt,
+                                               block=8, term_chunk=3)
+    np.testing.assert_allclose(_masked(chk, 7), _masked(full, 7),
+                               rtol=1e-12, atol=1e-300)
+    np.testing.assert_allclose(np.asarray(chk.emoins),
+                               np.asarray(full.emoins), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(chk.eplus),
+                               np.asarray(full.eplus), rtol=1e-13)
+    # single-chunk passthrough
+    one = solver.solve_fourier_blocked_chunked(prob.inp, prob.opt,
+                                               block=8, term_chunk=64)
+    np.testing.assert_allclose(_masked(one, 7), _masked(full, 7),
+                               rtol=1e-12, atol=1e-300)
