@@ -69,29 +69,32 @@ def kernel_roofline(prob, peak_flops, peak_bw):
     m_mol = solver._flat_operator(inp.k_mol, inp.w_pos)
     mboth = jnp.concatenate([m_aer, m_mol], axis=-2)     # (S, 2W, W)
     rng = np.random.default_rng(1)
-    field = jnp.asarray(rng.random((n_s, ntp1, w)), dtype=dtype)
-    xdel = jnp.broadcast_to(inp.xdel[0], (n_s, ntp1))
-    ydel = jnp.broadcast_to(inp.ydel[0], (n_s, ntp1))
+    t_n = inp.h.shape[0]
+    field = jnp.asarray(rng.random((n_s, t_n, ntp1, w)), dtype=dtype)
+    xdel = inp.xdel.astype(dtype)                        # (T, NT+1)
+    ydel = inp.ydel.astype(dtype)
 
     # each jitted call chains K data-dependent iterations so the per-call
     # dispatch round trip (tens of ms through a remote-TPU tunnel) does not
     # masquerade as kernel time
     k_chain = 32
 
-    # --- scattering-source contraction (SOS_FSOURCE_ORDREIG -> one matmul)
+    # --- scattering-source contraction (SOS_FSOURCE_ORDREIG): the
+    # production (S, T·(NT+1), 2W) @ (S, 2W, W) shared-operator batched
+    # matmul of solver._scatter_st
     @jax.jit
     def scatter_k(f):
         def body(_, f):
-            return jax.vmap(solver._scatter_flat)(mboth, xdel, ydel, f)
+            return solver._scatter_st(mboth, xdel, ydel, f)
         return jax.lax.fori_loop(0, k_chain, body, f)
 
     def force(x):
         # device-to-host read of one element: the only reliable fence
         # through the remote-TPU tunnel (see run_full in main)
-        return np.asarray(jax.device_get(x[0, 0, :8]))
+        return np.asarray(jax.device_get(x.ravel()[:8]))
 
     dt = _timeit(lambda: force(scatter_k(field))) / k_chain
-    flops = 2.0 * n_s * ntp1 * (2 * w) * w
+    flops = 2.0 * n_s * t_n * ntp1 * (2 * w) * w
     scatter_res = {
         "time_us": round(dt * 1e6, 1),
         "tflops": round(flops / dt / 1e12, 2),
@@ -99,10 +102,14 @@ def kernel_roofline(prob, peak_flops, peak_bw):
         if peak_flops else None,
     }
 
-    # --- layer sweep: Pallas sequential kernel vs associative-scan fallback
+    # --- layer sweep: Pallas sequential kernel vs associative-scan
+    # fallback, on the flattened (S·T) instance batch of the production
+    # path (solver._sweep_flat_st)
     muh = solver._mu_half(inp.mu_pos, hp, dtype)
-    h_b = jnp.broadcast_to(inp.h[0], (n_s, ntp1))
-    bc = jnp.asarray(rng.random((n_s, hp)), dtype=dtype)
+    b_n = n_s * t_n
+    h_b = jnp.broadcast_to(inp.h[0], (b_n, ntp1)).astype(dtype)
+    bc = jnp.asarray(rng.random((b_n, hp)), dtype=dtype)
+    field_b = field.reshape(b_n, ntp1, w)
 
     @jax.jit
     def sweep_pallas_k(f):
@@ -118,9 +125,9 @@ def kernel_roofline(prob, peak_flops, peak_bw):
         return jax.lax.fori_loop(0, k_chain, body, f)
 
     res = {"scatter_matmul": scatter_res}
-    bytes_min = 4 * n_s * ntp1 * w * dtype.itemsize  # att,bu,bd in + out
+    bytes_min = 2 * b_n * ntp1 * w * dtype.itemsize  # src in + field out
     try:
-        dt_p = _timeit(lambda: force(sweep_pallas_k(field))) / k_chain
+        dt_p = _timeit(lambda: force(sweep_pallas_k(field_b))) / k_chain
         res["sweep_pallas"] = {
             "time_us": round(dt_p * 1e6, 1),
             "gbps": round(bytes_min / dt_p / 1e9, 1),
@@ -129,7 +136,7 @@ def kernel_roofline(prob, peak_flops, peak_bw):
         }
     except Exception as e:  # CPU or unsupported backend
         res["sweep_pallas"] = {"error": str(e)[:80]}
-    dt_s = _timeit(lambda: force(sweep_scan_k(field))) / k_chain
+    dt_s = _timeit(lambda: force(sweep_scan_k(field_b))) / k_chain
     res["sweep_scan"] = {"time_us": round(dt_s * 1e6, 1),
                          "gbps": round(bytes_min / dt_s / 1e9, 1)}
     return res

@@ -132,7 +132,7 @@ def _pad_axis(x, axis, target, value=0.0):
 
 
 def sweep_flat_batched(h_b, muh, src_b, bc_b, interpret=False):
-    """Batched flat-field sweep on TPU (see ``solver._sweep_flat``).
+    """Batched flat-field sweep on TPU (see ``solver._sweep_flat_st``).
 
     ``h_b``: (TS, NT+1) cumulative optical depths; ``muh``: (HP,) direction
     cosines of one hemisphere block (pad slots 1); ``src_b``: (TS, NT+1, W)

@@ -11,11 +11,13 @@ Fourier loop ``DO IS``           batch axis S — every order solved at once
                                  early-exit test is reproduced post-hoc in
                                  ``fourier_stop_mask``)
 ``SOS_NOYAUX``                   precomputed GSF basis + ``kernels.py`` matmuls
-``SOS_FSOURCE_ORDRE1``           ``_primary_flat``
-``SOS_FSOURCE_ORDREIG``          one ``(NT+1, W) @ (W, 2W)`` matmul per order
-  (``src/SOS_OS.F:2663``)        (MXU) — see *flat layout* below
-``SOS_INTEGR_EPOPT``             ``_sweep_flat`` via ``lax.associative_scan``
-  (``src/SOS_OS.F:2222``)        on affine maps
+``SOS_FSOURCE_ORDRE1``           primary source, inline in ``_solve_st``
+``SOS_FSOURCE_ORDREIG``          ``_scatter_st`` — one (S, T·(NT+1), 2W) @
+  (``src/SOS_OS.F:2663``)        (S, 2W, W) batched MXU matmul per IG with
+                                 the per-order operator shared across terms
+``SOS_INTEGR_EPOPT``             ``_sweep_flat_st`` — Pallas sequential
+  (``src/SOS_OS.F:2222``)        recurrence on TPU f32, else an
+                                 ``associative_scan`` on affine maps
 ``DO 503`` scattering loop       ``lax.scan`` over IG with per-order masking
 ``SOS_PARAM_CONV`` etc.          ``_param_conv`` / stop tests in the scan body
 ``SOS_AJOUT_QUEUE``              ``_queue`` (geometric-series tail)
@@ -275,74 +277,60 @@ def _sweep_flat_scan(h, mu_half, src, bc_up):
     return jnp.concatenate([up, dn], axis=1)
 
 
-@jax.custom_batching.custom_vmap
-def _sweep_flat(h, mu_half, src, bc_up):
-    """Flat-field sweep; on TPU the *batched* form (one instance per
-    (term, Fourier-order) pair under ``vmap``) dispatches to the Pallas
-    sequential-recurrence kernel (``pallas_ops.sweep_flat_batched``), which
-    replaces the associative scan's ~log2(NT) HBM passes with one."""
-    return _sweep_flat_scan(h, mu_half, src, bc_up)
+def _sweep_flat_st(h_st, mu_half, src_st, bc_st):
+    """Flat-field sweep over an explicit instance batch.
 
-
-@_sweep_flat.def_vmap
-def _sweep_flat_vmap(axis_size, in_batched, h, mu_half, src, bc_up):
-    hb, mb, sb, bb = in_batched
-    if mb:  # mu_half is shared across instances in every caller
-        mu_half = mu_half[0]
-    if not hb:
-        h = jnp.broadcast_to(h, (axis_size,) + h.shape)
-    if not sb:
-        src = jnp.broadcast_to(src, (axis_size,) + src.shape)
-    if not bb:
-        bc_up = jnp.broadcast_to(bc_up, (axis_size,) + bc_up.shape)
-    if jax.default_backend() == "tpu" and src.dtype == jnp.float32:
+    ``h_st``: (B, NT+1), ``src_st``: (B, NT+1, W), ``bc_st``: (B, HP) with
+    ``B`` the flattened (order, term) instance axis.  On TPU in f32 the
+    batch dispatches to the Pallas sequential-recurrence kernel
+    (``pallas_ops.sweep_flat_batched``), which replaces the associative
+    scan's ~log2(NT) HBM passes with one; elsewhere the vmapped
+    associative-scan path runs.
+    """
+    if jax.default_backend() == "tpu" and src_st.dtype == jnp.float32:
         from . import pallas_ops
-        out = pallas_ops.sweep_flat_batched(h, mu_half, src, bc_up)
-    else:
-        out = jax.vmap(_sweep_flat_scan, in_axes=(0, None, 0, 0))(
-            h, mu_half, src, bc_up)
-    return out, True
+        return pallas_ops.sweep_flat_batched(h_st, mu_half, src_st, bc_st)
+    return jax.vmap(_sweep_flat_scan, in_axes=(0, None, 0, 0))(
+        h_st, mu_half, src_st, bc_st)
 
 
 # ---------------------------------------------------------------------------
 # Source functions
 # ---------------------------------------------------------------------------
 
-def _scatter_flat(mboth, xdel, ydel, field):
-    """Order-IG source from the order-(IG-1) field (SOS_FSOURCE_ORDREIG).
+def _scatter_st(mboth, xdel, ydel, field):
+    """Batched order-IG source (``SOS_FSOURCE_ORDREIG``) for the whole
+    (order, term) grid.
 
-    One aligned matmul on the MXU: ``mboth`` is (2W, W) = [M_aer; M_mol]
-    stacked along the contraction axis (built by ``_flat_operator``, Gauss
-    weights and the 1/2 folded in).  The per-level aerosol/molecular mixing
-    fractions (``src/SOS_OS.F:2859-2905``) scale the *input* side —
-    ``[xdel*f | ydel*f] @ [M_aer; M_mol]`` — so the elementwise mix fuses
-    into the matmul operand and the output is written once at width W.
+    ``field``: (S, T, NT+1, W); ``mboth``: (S, 2W, W) per-order operators
+    (terms share them); ``xdel/ydel``: (T, NT+1).  The (S, T·(NT+1), 2W) @
+    (S, 2W, W) batched matmul keeps the operator resident per order instead
+    of gathering a per-instance copy (the former vmap-over-(T·S) layout
+    materialized mboth once per instance — at 16 terms x 81 orders that is
+    ~0.7 GB of pure gather traffic per scattering order).
     """
-    f2 = jnp.concatenate([xdel[:, None] * field, ydel[:, None] * field],
-                         axis=-1)
-    return jnp.matmul(f2, mboth, preferred_element_type=field.dtype,
-                      precision=MATMUL_PRECISION)
+    s_n, t_n, ntp1, w = field.shape
+    xb = xdel[None, :, :, None]
+    yb = ydel[None, :, :, None]
+    f2 = jnp.concatenate([xb * field, yb * field], axis=-1)
+    f2 = f2.reshape(s_n, t_n * ntp1, 2 * w)
+    out = jnp.matmul(f2, mboth, preferred_element_type=field.dtype,
+                     precision=MATMUL_PRECISION)
+    return out.reshape(s_n, t_n, ntp1, w)
 
 
-def _primary_flat(col_a, col_m, xdel, ydel, h, tab):
-    """Primary-scattering source from the attenuated direct beam.
-
-    Reference ``SOS_FSOURCE_ORDRE1`` (``src/SOS_OS.F:2431``): direct beam
-    attenuation ``CH(i) = exp(-h_i/|mu_s|)/4`` (``src/SOS_OS.F:837-839``).
-    """
-    ch = jnp.exp(h / tab) / 4.0                          # tab < 0
-    mix = xdel[:, None] * col_a[None, :] + ydel[:, None] * col_m[None, :]
-    return ch[:, None] * mix                             # (NT+1, W)
-
-
-def _fresnel_primary_flat(k_aer, k_mol, xdel, ydel, h, tab, f11, f12, hp):
-    """Source for the first scattering of the flat-sea-reflected sun beam.
+def _fresnel_primary_st(k_aer, k_mol, xdel, ydel, h, tab, f11, f12, hp):
+    """Source for the first scattering of the flat-sea-reflected sun beam,
+    batched over the (order, term) grid — returns (S, T, NT+1, W).
 
     Transcription of ``SOS_FSOURCE_DIFF_FRESNEL1`` (``src/SOS_OS.F:3106``):
     staggered levels — the upward source at level i uses the level-i mixture,
     the downward source at level i+1 uses the level-(i+1) mixture; the beam
     travels down to the ground, reflects with (F11sun, F12sun) and climbs
     back up, hence the ``exp((2 h_NT - h_i)/|mu_s|)`` attenuations.
+
+    ``k_aer/k_mol``: (S, 3, 3, D, D); ``xdel/ydel/h``: (T, NT+1);
+    ``tab``: (T,).
     """
     n = (k_aer.shape[-1] - 1) // 2
     f11s, f12s = f11[0], f12[0]
@@ -353,9 +341,9 @@ def _fresnel_primary_flat(k_aer, k_mol, xdel, ydel, h, tab, f11, f12, hp):
     c = n                     # solar column
 
     def elem(so, si, a_idx, b_idx, sign=1.0):
-        ka = sign * k_aer[so, si][a_idx, b_idx]
-        km = sign * k_mol[so, si][a_idx, b_idx]
-        return ka, km          # (N,) vectors
+        ka = sign * k_aer[:, so, si, a_idx, b_idx]
+        km = sign * k_mol[:, so, si, a_idx, b_idx]
+        return ka, km          # (S, N)
 
     # raw kernels from the block operator:
     # BP(a,b)=P00(a,b); GR(a,b)=P01(a,b); GT(a,b)=-P02(a,b);
@@ -374,35 +362,39 @@ def _fresnel_primary_flat(k_aer, k_mol, xdel, ydel, h, tab, f11, f12, hp):
     art_j0 = elem(2, 1, idx_pos, c, -1.0)
 
     def mixl(pair, w_a, w_m):
-        ka, km = pair
-        return w_a[:, None] * ka[None, :] + w_m[:, None] * km[None, :]
+        ka, km = pair                                    # (S, N)
+        return (w_a[None, :, :, None] * ka[:, None, None, :]
+                + w_m[None, :, :, None] * km[:, None, None, :])
 
-    coefnt = jnp.exp(2.0 * h[-1] / tab) / 4.0
-    coef = coefnt * jnp.exp(-h / tab)                    # (NT+1,)
+    coefnt = jnp.exp(2.0 * h[:, -1] / tab) / 4.0         # (T,)
+    coef = coefnt[:, None] * jnp.exp(-h / tab[:, None])  # (T, NT+1)
+    cup = coef[None, :, :-1, None]
+    cdn = coef[None, :, 1:, None]
 
-    xp, yr = xdel, ydel
+    xlo, ylo = xdel[:, :-1], ydel[:, :-1]
+    xhi, yhi = xdel[:, 1:], ydel[:, 1:]
     # upward source rows, defined at levels 0..NT-1 (src/SOS_OS.F:3277-3282)
-    up_i = coef[:-1, None] * (f11s * mixl(bp_0mj, xp[:-1], yr[:-1])
-                              + f12s * mixl(gr_mj0, xp[:-1], yr[:-1]))
-    up_q = coef[:-1, None] * (f11s * mixl(gr_0mj, xp[:-1], yr[:-1])
-                              + f12s * mixl(arr_0mj, xp[:-1], yr[:-1]))
-    up_u = coef[:-1, None] * (f11s * mixl(gt_0mj, xp[:-1], yr[:-1])
-                              + f12s * mixl(art_mj0, xp[:-1], yr[:-1]))
-    zrow = jnp.zeros((1, n), dtype=h.dtype)
-    up3 = jnp.stack([jnp.concatenate([up_i, zrow]),
-                     jnp.concatenate([up_q, zrow]),
-                     jnp.concatenate([up_u, zrow])], axis=1)
+    up_i = cup * (f11s * mixl(bp_0mj, xlo, ylo)
+                  + f12s * mixl(gr_mj0, xlo, ylo))
+    up_q = cup * (f11s * mixl(gr_0mj, xlo, ylo)
+                  + f12s * mixl(arr_0mj, xlo, ylo))
+    up_u = cup * (f11s * mixl(gt_0mj, xlo, ylo)
+                  + f12s * mixl(art_mj0, xlo, ylo))
+    zrow = jnp.zeros(up_i.shape[:2] + (1, n), dtype=h.dtype)
+    up3 = jnp.stack([jnp.concatenate([up_i, zrow], axis=2),
+                     jnp.concatenate([up_q, zrow], axis=2),
+                     jnp.concatenate([up_u, zrow], axis=2)], axis=3)
 
     # downward source rows, defined at levels 1..NT (src/SOS_OS.F:3285-3289)
-    dn_i = coef[1:, None] * (f11s * mixl(bp_0j, xp[1:], yr[1:])
-                             + f12s * mixl(gr_j0, xp[1:], yr[1:]))
-    dn_q = coef[1:, None] * (f11s * mixl(gr_0j, xp[1:], yr[1:])
-                             + f12s * mixl(arr_0j, xp[1:], yr[1:]))
-    dn_u = coef[1:, None] * (f11s * mixl(gt_0j, xp[1:], yr[1:])
-                             + f12s * mixl(art_j0, xp[1:], yr[1:]))
-    dn3 = jnp.stack([jnp.concatenate([zrow, dn_i]),
-                     jnp.concatenate([zrow, dn_q]),
-                     jnp.concatenate([zrow, dn_u])], axis=1)
+    dn_i = cdn * (f11s * mixl(bp_0j, xhi, yhi)
+                  + f12s * mixl(gr_j0, xhi, yhi))
+    dn_q = cdn * (f11s * mixl(gr_0j, xhi, yhi)
+                  + f12s * mixl(arr_0j, xhi, yhi))
+    dn_u = cdn * (f11s * mixl(gt_0j, xhi, yhi)
+                  + f12s * mixl(art_j0, xhi, yhi))
+    dn3 = jnp.stack([jnp.concatenate([zrow, dn_i], axis=2),
+                     jnp.concatenate([zrow, dn_q], axis=2),
+                     jnp.concatenate([zrow, dn_u], axis=2)], axis=3)
 
     return jnp.concatenate([_pad_half(up3, hp), _pad_half(dn3, hp)], axis=-1)
 
@@ -411,49 +403,56 @@ def _fresnel_primary_flat(k_aer, k_mol, xdel, ydel, h, tab, f11, f12, hp):
 # Ground boundary conditions
 # ---------------------------------------------------------------------------
 
-def _surface_reflect_flat(ground_dn, inp: SolveInputs, opt: SolveOptions,
-                          rmat_s, is0, hp):
-    """Upward ground BC (flat, (HP,)) for orders IG >= 2
-    (``src/SOS_OS.F:1164-1239``)."""
+def _surface_reflect_st(ground_dn, inp: SolveInputs, opt: SolveOptions,
+                        rmat, is0, hp):
+    """Upward ground BC for orders IG >= 2 (``src/SOS_OS.F:1164-1239``),
+    batched: ``ground_dn`` (S, T, HP) -> (S, T, HP)."""
     mu, w = inp.mu_pos, inp.w_pos
     n = mu.shape[0]
-    gd = ground_dn[:3 * n].reshape(3, n)
+    gd = ground_dn[..., :3 * n].reshape(ground_dn.shape[:-1] + (3, n))
     rho = inp.surface.rho
     # Lambertian: LSOL = 2 rho sum w mu I_dn(ground) at IS = 0 only
-    lsol = 2.0 * rho * jnp.sum(w * mu * gd[0]) * is0
-    bc = jnp.zeros_like(gd).at[0].set(lsol)
+    lsol = 2.0 * rho * jnp.sum(w * mu * gd[:, :, 0], axis=-1) * is0[:, None]
+    bc = jnp.zeros_like(gd).at[:, :, 0].set(
+        jnp.broadcast_to(lsol[..., None], lsol.shape + (n,)))
     if opt.imat_surf:
-        # tiny (3,3,n,n)x(3,n) op once per scattering order: HIGHEST costs
-        # nothing here and keeps the glitter ground coupling at full f32
-        v = jnp.einsum("xyjk,yj->xk", rmat_s, gd * w,
+        # tiny (S,3,3,n,n)x(S,T,3,n) op once per scattering order: HIGHEST
+        # costs nothing here and keeps the glitter ground coupling at full
+        # f32
+        v = jnp.einsum("sxyjk,styj->stxk", rmat, gd * w,
                        precision=lax.Precision.HIGHEST)
         bc = bc + 2.0 * v / mu
     if opt.ifresnel:
         f11 = inp.surface.f11[1:]
         f12 = inp.surface.f12[1:]
         f33 = inp.surface.f33[1:]
-        add_i = f11 * gd[0] + f12 * gd[1]
-        add_q = f12 * gd[0] + f11 * gd[1]
-        add_u = f33 * gd[2]
-        bc = bc + jnp.stack([add_i, add_q, add_u])
+        add_i = f11 * gd[:, :, 0] + f12 * gd[:, :, 1]
+        add_q = f12 * gd[:, :, 0] + f11 * gd[:, :, 1]
+        add_u = f33 * gd[:, :, 2]
+        bc = bc + jnp.stack([add_i, add_q, add_u], axis=2)
     return _pad_half(bc, hp)
 
 
-def _order1_bc_flat(inp: SolveInputs, opt: SolveOptions, rmat_s, is0, hp):
-    """Ground BC for the primary interaction (``src/SOS_OS.F:968-992``).
+def _order1_bc_st(inp: SolveInputs, opt: SolveOptions, rmat, is0, hp,
+                  h, tab):
+    """Ground BC for the primary interaction (``src/SOS_OS.F:968-992``),
+    batched over (S, T).
 
-    Returns (bc (HP,), xr (N,)) — ``xr`` is the Lambertian part, kept apart
-    for the direct-reflection bookkeeping (``src/SOS_OS.F:1047-1084``).
+    Returns (bc (S, T, HP), xr (S, T, N)) — ``xr`` is the Lambertian part,
+    kept apart for the direct-reflection bookkeeping
+    (``src/SOS_OS.F:1047-1084``).  ``h``: (T, NT+1); ``tab``: (T,).
     """
     mu = inp.mu_pos
-    h_nt = inp.h[-1]
-    xr = -inp.surface.rho * inp.tab * jnp.exp(h_nt / inp.tab) * is0
-    xr = jnp.broadcast_to(xr, mu.shape)
-    bc = jnp.zeros((3,) + mu.shape, dtype=mu.dtype).at[0].set(xr)
+    n = mu.shape[0]
+    h_nt = h[:, -1]                                           # (T,)
+    xr = -inp.surface.rho * tab * jnp.exp(h_nt / tab)         # (T,)
+    xr = is0[:, None] * xr[None, :]                           # (S, T)
+    xrn = jnp.broadcast_to(xr[..., None], xr.shape + (n,))
+    bc = jnp.zeros(xr.shape + (3, n), dtype=h.dtype).at[:, :, 0].set(xrn)
     if opt.imat_surf:
-        rr = jnp.exp(h_nt / inp.tab) / mu
-        bc = bc + rmat_s[:, 0, inp.n0, :] * rr
-    return _pad_half(bc, hp), xr
+        rr = jnp.exp(h_nt / tab)[:, None] / mu                # (T, N)
+        bc = bc + rmat[:, :, 0, inp.n0, :][:, None] * rr[None, :, None, :]
+    return _pad_half(bc, hp), xrn
 
 
 # ---------------------------------------------------------------------------
@@ -465,14 +464,15 @@ def _safe_div(a, b):
 
 
 def _param_conv(a1, d1, g1, i3):
-    """Geometric-series convergence parameter (``SOS_PARAM_CONV``)."""
+    """Geometric-series convergence parameter (``SOS_PARAM_CONV``),
+    per (order, term) instance: (..., W) -> (...)."""
     ok = (a1 != 0.0) & (d1 != 0.0) & (i3 != 0.0)
     q2 = _safe_div(g1, d1)
     q1 = _safe_div(d1, a1)
     den = (1.0 - q2) ** 2
     y = _safe_div(q2 - q1, den) * _safe_div(g1, i3)
     y = jnp.where(ok, jnp.abs(y), 0.0)
-    return jnp.max(y)
+    return jnp.max(y, axis=-1)
 
 
 def _queue(d1, g1):
@@ -481,92 +481,121 @@ def _queue(d1, g1):
 
 
 def _bnd(field, hp):
-    """(NT+1, W) -> (W,): TOA row for the up half, ground for the down."""
-    return jnp.concatenate([field[0, :hp], field[-1, hp:]])
+    """(..., NT+1, W) -> (..., W): TOA row for the up half, ground row for
+    the down half."""
+    ntp1 = field.shape[-2]
+    return jnp.concatenate([field[..., 0, :hp],
+                            field[..., ntp1 - 1, hp:]], axis=-1)
 
 
 # ---------------------------------------------------------------------------
-# One Fourier order: primary interaction + scattering-order loop
+# The (Fourier order x CKD term) grid: primary interaction + scattering loop
 # ---------------------------------------------------------------------------
 
-def _solve_one_order(mboth, col_a, col_m, k_aer_s, k_mol_s, rmat_s, is0,
-                     inp: SolveInputs, opt: SolveOptions):
-    """Solve the IG loop for one Fourier order in the flat layout.
+def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
+              h, xdel, ydel, tab, inp: SolveInputs, opt: SolveOptions):
+    """Solve the IG loop for the whole (S orders x T terms) grid at once.
 
-    Returns ``(i3 (W,), acc_full)`` where ``i3`` is the accumulated Stokes
-    at the output boundary (TOA up / ground down) and ``acc_full`` is the
-    accumulated field at every level (``(NT+1, W)``, only when
-    ``opt.use_zout``; ``None`` otherwise — the default output needs only the
-    boundary rows, so the full-profile accumulators are not carried).
+    Explicit batching, no ``vmap``: the field is (S, T, NT+1, W), the
+    scattering-source contraction is one batched matmul per IG with the
+    per-order operator shared across terms (``_scatter_st``), and the layer
+    sweep runs on the flattened (S·T) instance axis.  Every convergence /
+    stop quantity of the reference's per-(IS) scalar machinery
+    (``src/SOS_OS.F:1285-1406``) is carried as an (S, T) array.
+
+    ``h/xdel/ydel``: (T, NT+1); ``tab``: (T,); ``col_a/col_m``: (S, 1, W)
+    (solar incidence, shared over terms) or (S, T, W) (per-term reciprocity
+    directions).  Returns ``(i3 (S,T,W), acc (S,T,NT+1,W) | dummy,
+    ig_last (S,T), stop_code (S,T))``.
     """
-    h, xdel, ydel = inp.h, inp.xdel, inp.ydel
     mu = inp.mu_pos
     n = mu.shape[0]
-    hp = mboth.shape[1] // 2
-    muh = _mu_half(mu, hp, h.dtype)
+    s_n = mboth.shape[0]
+    t_n = h.shape[0]
+    ntp1 = h.shape[1]
+    hp = mboth.shape[-1] // 2
+    dtype = h.dtype
+    muh = _mu_half(mu, hp, dtype)
 
-    # ----- order IG = 1 -----
-    src1 = _primary_flat(col_a, col_m, xdel, ydel, h, inp.tab)
-    bc1, xr1 = _order1_bc_flat(inp, opt, rmat_s, is0, hp)
-    field = _sweep_flat(h, muh, src1, bc1)
+    h_flat = jnp.broadcast_to(h[None], (s_n, t_n, ntp1)).reshape(
+        s_n * t_n, ntp1)
+
+    def sweep(src, bc):
+        out = _sweep_flat_st(h_flat, muh,
+                             src.reshape(s_n * t_n, ntp1, 2 * hp),
+                             bc.reshape(s_n * t_n, hp))
+        return out.reshape(s_n, t_n, ntp1, 2 * hp)
+
+    # ----- order IG = 1 (SOS_FSOURCE_ORDRE1, src/SOS_OS.F:2431) -----
+    ch = jnp.exp(h / tab[:, None]) / 4.0                     # (T, NT+1)
+    mix = (xdel[None, :, :, None] * col_a[:, :, None, :]
+           + ydel[None, :, :, None] * col_m[:, :, None, :])  # (S,T,L,W)
+    src1 = ch[None, :, :, None] * mix
+    bc1, xr1 = _order1_bc_st(inp, opt, rmat, is0, hp, h, tab)
+    field = sweep(src1, bc1)
 
     if opt.ifresnel:
-        srcf = _fresnel_primary_flat(k_aer_s, k_mol_s, xdel, ydel, h,
-                                     inp.tab, inp.surface.f11,
-                                     inp.surface.f12, hp)
-        field = field + _sweep_flat(h, muh, srcf, jnp.zeros_like(bc1))
+        srcf = _fresnel_primary_st(k_aer, k_mol, xdel, ydel, h, tab,
+                                   inp.surface.f11, inp.surface.f12, hp)
+        field = field + sweep(srcf, jnp.zeros_like(bc1))
 
     # direct-reflection contribution to be removed at the end
     # (src/SOS_OS.F:1062-1084): attenuated transport of the ground BRDF
     # reflection of the direct beam
     if opt.imat_surf:
-        up_ground = field[-1, :3 * n].reshape(3, n)     # == bc1 (+ fresnel)
-        xr3 = jnp.zeros((3, n), h.dtype).at[0].set(xr1)
+        up_ground = field[:, :, -1, :3 * n].reshape(s_n, t_n, 3, n)
+        xr3 = jnp.zeros((s_n, t_n, 3, n), dtype).at[:, :, 0].set(xr1)
         if opt.use_zout:
-            att = jnp.exp(-(h[-1] - h)[:, None, None] / mu)
-            rii_full = _pad_half(att * (up_ground - xr3)[None], hp)
+            att = jnp.exp(-(h[:, -1:] - h)[:, :, None, None] / mu)
+            rii_full = _pad_half(
+                att[None] * (up_ground - xr3)[:, :, None], hp)
         else:
-            att0 = jnp.exp(-(h[-1] - h[0]) / mu)
-            rii0 = _pad_half(att0 * (up_ground - xr3), hp)
+            att0 = jnp.exp(-(h[:, -1:] - h[:, :1]) / mu[None])   # (T, N)
+            rii0 = _pad_half(att0[None, :, None] * (up_ground - xr3), hp)
     else:
-        rii_full = jnp.zeros((h.shape[0], hp), h.dtype)
-        rii0 = jnp.zeros((hp,), h.dtype)
+        rii_full = jnp.zeros((s_n, t_n, ntp1, hp), dtype)
+        rii0 = jnp.zeros((s_n, t_n, hp), dtype)
 
-    i3 = _bnd(field, hp)
+    i3 = _bnd(field, hp)                                     # (S, T, W)
     d1 = i3
     a1 = jnp.zeros_like(i3)
     if opt.use_zout:
         acc = field
         d1out = field
     else:
-        acc = None
-        d1out = None
+        acc = jnp.zeros((1,), dtype)
+        d1out = acc
 
     def cond(carry):
         (ig, fld, i3_c, a1_c, d1_c, acc_c, d1out_c, done, diag) = carry
-        return (~done) & (ig <= opt.igmax)
+        return (ig <= opt.igmax) & jnp.any(~done)
 
     def body(carry):
         (ig, fld, i3_c, a1_c, d1_c, acc_c, d1out_c, done, diag) = carry
 
-        src = _scatter_flat(mboth, xdel, ydel, fld)
-        bc = _surface_reflect_flat(fld[-1, hp:], inp, opt, rmat_s, is0, hp)
-        new = _sweep_flat(h, muh, src, bc)
-        g1 = _bnd(new, hp)
+        src = _scatter_st(mboth, xdel, ydel, fld)
+        bc = _surface_reflect_st(fld[:, :, -1, hp:], inp, opt, rmat, is0,
+                                 hp)
+        new = sweep(src, bc)
+        g1 = _bnd(new, hp)                                   # (S, T, W)
 
         # geometric-series test, skipped at IG == 2 (src/SOS_OS.F:1285-1293)
-        z_conv = _param_conv(a1_c, d1_c, g1, i3_c)
+        z_conv = _param_conv(a1_c, d1_c, g1, i3_c)           # (S, T)
         conv = (ig > 2) & (z_conv <= opt.seuil_cv_sg) & (~done)
         active = (~done) & (~conv)
+        c_w = conv[..., None]
+        a_w = active[..., None]
 
         # converged: add the geometric tail, stop (src/SOS_OS.F:1299-1315);
         # not converged: accumulate order IG (src/SOS_OS.F:1343-1363)
-        i3_n = jnp.where(conv, i3_c + _queue(d1_c, g1),
-                         jnp.where(active, i3_c + g1, i3_c))
+        i3_n = jnp.where(c_w, i3_c + _queue(d1_c, g1),
+                         jnp.where(a_w, i3_c + g1, i3_c))
         if opt.use_zout:
-            acc_n = jnp.where(conv, acc_c + _queue(d1out_c, new),
-                              jnp.where(active, acc_c + new, acc_c))
-            d1out_n = jnp.where(active, new, d1out_c)
+            c_f = conv[..., None, None]
+            a_f = active[..., None, None]
+            acc_n = jnp.where(c_f, acc_c + _queue(d1out_c, new),
+                              jnp.where(a_f, acc_c + new, acc_c))
+            d1out_n = jnp.where(a_f, new, d1out_c)
         else:
             acc_n, d1out_n = acc_c, d1out_c
 
@@ -574,10 +603,11 @@ def _solve_one_order(mboth, col_a, col_m, k_aer_s, k_mol_s, rmat_s, is0,
         # SEUIL_VALDIF = 1e-50 underflows float32 — clamp to the smallest
         # normal so the test keeps its dead-field semantics (precision.py)
         valdif = max(opt.seuil_valdif, float(np.finfo(
-            np.dtype(h.dtype)).tiny))
-        stop_abs = jnp.max(jnp.abs(g1)) <= valdif
+            np.dtype(dtype)).tiny))
+        stop_abs = jnp.max(jnp.abs(g1), axis=-1) <= valdif
         z_rel = jnp.max(jnp.where(i3_n != 0.0,
-                                  jnp.abs(_safe_div(g1, i3_n)), 0.0))
+                                  jnp.abs(_safe_div(g1, i3_n)), 0.0),
+                        axis=-1)
         stop_rel = z_rel <= opt.seuil_sumdif
         done_n = done | conv | (active & (stop_abs | stop_rel))
 
@@ -592,18 +622,19 @@ def _solve_one_order(mboth, col_a, col_m, k_aer_s, k_mol_s, rmat_s, is0,
 
         # once done, further iterates are masked out of every accumulator,
         # so the field may advance unconditionally (no (NT+1, W) select)
-        a1_n = jnp.where(active, d1_c, a1_c)
-        d1_n = jnp.where(active, g1, d1_c)
+        a1_n = jnp.where(a_w, d1_c, a1_c)
+        d1_n = jnp.where(a_w, g1, d1_c)
         return (ig + 1, new, i3_n, a1_n, d1_n, acc_n, d1out_n, done_n,
                 (ig_last, code))
 
     # while_loop, not a fixed-trip scan: the scattering series typically
     # converges in 5-30 orders (IGMAX defaults to 100,
-    # src/SOS_PROC.F / inc/SOS.h:383) — under vmap the loop runs until the
-    # slowest instance in the batch is done, the rest stay masked
-    diag0 = (jnp.asarray(1, dtype=jnp.int32), jnp.asarray(0, jnp.int32))
+    # src/SOS_PROC.F / inc/SOS.h:383); the loop runs until the slowest
+    # (order, term) instance in the grid is done, the rest stay masked
+    diag0 = (jnp.full((s_n, t_n), 1, jnp.int32),
+             jnp.zeros((s_n, t_n), jnp.int32))
     init = (jnp.asarray(2, dtype=jnp.int32), field, i3, a1, d1, acc, d1out,
-            jnp.asarray(False), diag0)
+            jnp.zeros((s_n, t_n), bool), diag0)
     (_, field, i3, a1, d1, acc, d1out, done, diag) = lax.while_loop(
         cond, body, init)
     ig_last, stop_code = diag
@@ -611,12 +642,11 @@ def _solve_one_order(mboth, col_a, col_m, k_aer_s, k_mol_s, rmat_s, is0,
     # remove the stored direct-reflection term (src/SOS_OS.F:1421-1439)
     if opt.imat_surf:
         if opt.use_zout:
-            acc = acc.at[:, :hp].add(-rii_full)
-            i3 = i3.at[:hp].add(-rii_full[0])
+            acc = acc.at[..., :hp].add(-rii_full)
+            i3 = i3.at[..., :hp].add(-rii_full[:, :, 0])
         else:
-            i3 = i3.at[:hp].add(-rii0)
-    return (i3, (acc if opt.use_zout else jnp.zeros((1, 1), h.dtype)),
-            ig_last, stop_code)
+            i3 = i3.at[..., :hp].add(-rii0)
+    return i3, acc, ig_last, stop_code
 
 
 def solve_fourier(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
@@ -632,12 +662,14 @@ def solve_fourier_batch(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
     """Multi-profile solve: ``h/xdel/ydel`` (and ``zprof``) carry a leading
     term axis T (the CKD batch); kernels/surface are shared.
 
-    The (T x S) problem grid is flattened into ONE ``vmap`` axis of index
-    pairs — every instance gathers its per-term profile and per-order
-    kernel slices.  A nested ``vmap`` (terms over orders) produces the same
-    results but compiles catastrophically slower on TPU (~80x at the demo
-    shape), so this single-level layout is the production path.
-    Results get shape (T, ...).
+    The (S orders x T terms) grid is batched *explicitly* (``_solve_st``):
+    the per-order operator matrices stay shared across terms in one batched
+    matmul instead of being gathered per instance, and the whole grid
+    advances through one ``while_loop`` with per-instance masking.  (The
+    historical alternatives both lose: a nested ``vmap`` compiles ~80x
+    slower at the demo shape, and a flattened-``vmap`` index-pair layout
+    materializes a per-instance copy of the operators every scattering
+    order.)  Results get shape (T, ...).
     """
     t_n = inp.h.shape[0]
     n_s = inp.k_aer.shape[0]
@@ -652,56 +684,47 @@ def solve_fourier_batch(inp: SolveInputs, opt: SolveOptions) -> FourierResult:
     m_aer = _flat_operator(inp.k_aer, inp.w_pos)
     m_mol = _flat_operator(inp.k_mol, inp.w_pos)
     mboth = jnp.concatenate([m_aer, m_mol], axis=-2)     # (S, 2W, W)
-    col_a = _flat_solar_col(inp.k_aer)                   # (S, W)
-    col_m = _flat_solar_col(inp.k_mol)
+
+    if inp.n0_col is not None:
+        # per-term incidence direction (reciprocity transmission runs):
+        # gather the primary-source kernel column at each term's direction
+        col_a = jnp.swapaxes(jax.vmap(
+            lambda d: _flat_solar_col(inp.k_aer, d))(inp.n0_col), 0, 1)
+        col_m = jnp.swapaxes(jax.vmap(
+            lambda d: _flat_solar_col(inp.k_mol, d))(inp.n0_col), 0, 1)
+    else:
+        col_a = _flat_solar_col(inp.k_aer)[:, None]      # (S, 1, W)
+        col_m = _flat_solar_col(inp.k_mol)[:, None]
 
     if inp.surface.rmat is not None:
         rmat = inp.surface.rmat
     else:
         rmat = jnp.zeros((n_s, 3, 3, n, n), dtype=inp.h.dtype)
 
-    tt, ss = jnp.meshgrid(jnp.arange(t_n), jnp.arange(n_s), indexing="ij")
-
     tab_batched = jnp.ndim(inp.tab) == 1       # per-term incidence (trans runs)
+    tab = inp.tab if tab_batched else jnp.broadcast_to(inp.tab, (t_n,))
 
-    def one(t_idx, s_idx):
-        inner = inp._replace(
-            h=inp.h[t_idx], xdel=inp.xdel[t_idx], ydel=inp.ydel[t_idx],
-            tab=inp.tab[t_idx] if tab_batched else inp.tab,
-            zprof=None if inp.zprof is None else inp.zprof[t_idx])
-        if inp.n0_col is not None:
-            # per-term incidence direction (reciprocity runs): gather the
-            # primary-source kernel column at that direction
-            ca = _flat_solar_col(inp.k_aer[s_idx][None],
-                                 inp.n0_col[t_idx])[0]
-            cm = _flat_solar_col(inp.k_mol[s_idx][None],
-                                 inp.n0_col[t_idx])[0]
-        else:
-            ca, cm = col_a[s_idx], col_m[s_idx]
-        return _solve_one_order(mboth[s_idx], ca, cm,
-                                inp.k_aer[s_idx], inp.k_mol[s_idx],
-                                rmat[s_idx], is0[s_idx], inner, opt)
-
-    i3, acc, ig_last, stop_code = jax.vmap(one)(tt.ravel(), ss.ravel())
-    i3 = i3.reshape(t_n, n_s, 2 * hp)
-    ig_last = ig_last.reshape(t_n, n_s)
-    stop_code = stop_code.reshape(t_n, n_s)
+    i3, acc, ig_last, stop_code = _solve_st(
+        mboth, col_a, col_m, inp.k_aer, inp.k_mol, rmat, is0,
+        inp.h, inp.xdel, inp.ydel, tab, inp, opt)
+    i3 = jnp.swapaxes(i3, 0, 1)                          # (T, S, W)
+    ig_last = jnp.swapaxes(ig_last, 0, 1)
+    stop_code = jnp.swapaxes(stop_code, 0, 1)
 
     # diffuse fluxes at IS = 0 (src/SOS_OS.F:1447-1456), per term
     i3_0 = i3[:, 0]                                  # (T, W)
     up0 = i3_0[:, :n]                                # I rows of each half
     dn0 = i3_0[:, hp:hp + n]
     wmu = inp.mu_pos * inp.w_pos
-    tab_f = inp.tab if tab_batched else jnp.broadcast_to(inp.tab, (t_n,))
-    emoins = -2.0 / tab_f * jnp.sum(wmu * dn0, axis=-1)
-    eplus = -2.0 / tab_f * jnp.sum(wmu * up0, axis=-1)
+    emoins = -2.0 / tab * jnp.sum(wmu * dn0, axis=-1)
+    eplus = -2.0 / tab * jnp.sum(wmu * up0, axis=-1)
 
     i3bnd = _signed_from_flat(i3, n)                 # (T, S, 3, D)
 
     if opt.use_zout:
         # arbitrary output altitude: both hemispheres interpolated at the
         # bracketing profile levels (src/SOS_OS.F:1511-1534)
-        acc = acc.reshape((t_n, n_s) + acc.shape[1:])
+        acc = jnp.swapaxes(acc, 0, 1)                # (T, S, NT+1, W)
         i3z_flat, tauout = jax.vmap(interp_zout, in_axes=(0, 0, 0, None))(
             acc, inp.zprof, inp.h, inp.zout_km)
         i3z = _signed_from_flat(i3z_flat, n)
