@@ -70,64 +70,81 @@ def kernel_roofline(prob, peak_flops, peak_bw):
     mboth = jnp.concatenate([m_aer, m_mol], axis=-2)     # (S, 2W, W)
     rng = np.random.default_rng(1)
     t_n = inp.h.shape[0]
-    field = jnp.asarray(rng.random((n_s, t_n, ntp1, w)), dtype=dtype)
-    xdel = inp.xdel.astype(dtype)                        # (T, NT+1)
-    ydel = inp.ydel.astype(dtype)
+    nt = ntp1 - 1
+    lp = pallas_ops.pad_levels(nt)
+    b_n = n_s * t_n
+    up = jnp.asarray(rng.random((b_n, lp, hp)), dtype=dtype)
+    dn = jnp.asarray(rng.random((b_n, lp, hp)), dtype=dtype)
+    xdel_b = jnp.asarray(rng.random((b_n, lp, 1)), dtype=dtype)
+    ydel_b = 1.0 - xdel_b
 
     # each jitted call chains K data-dependent iterations so the per-call
     # dispatch round trip (tens of ms through a remote-TPU tunnel) does not
     # masquerade as kernel time
     k_chain = 32
 
-    # --- scattering-source contraction (SOS_FSOURCE_ORDREIG): the
-    # production (S, T·(NT+1), 2W) @ (S, 2W, W) shared-operator batched
-    # matmul of solver._scatter_st
-    @jax.jit
-    def scatter_k(f):
-        def body(_, f):
-            return solver._scatter_st(mboth, xdel, ydel, f)
-        return jax.lax.fori_loop(0, k_chain, body, f)
-
     def force(x):
         # device-to-host read of one element: the only reliable fence
         # through the remote-TPU tunnel (see run_full in main)
         return np.asarray(jax.device_get(x.ravel()[:8]))
 
-    dt = _timeit(lambda: force(scatter_k(field))) / k_chain
-    flops = 2.0 * n_s * t_n * ntp1 * (2 * w) * w
-    scatter_res = {
-        "time_us": round(dt * 1e6, 1),
-        "tflops": round(flops / dt / 1e12, 2),
-        "mfu_pct": round(100.0 * flops / dt / peak_flops, 1)
-        if peak_flops else None,
-    }
+    # --- scattering-source contraction (SOS_FSOURCE_ORDREIG): the fused
+    # mix + per-order operator matmul (pallas_ops.scatter_fused)
+    res = {}
+    flops = 2.0 * b_n * lp * (2 * w) * w
+    bpo = t_n // pallas_ops._IB
 
-    # --- layer sweep: Pallas sequential kernel vs associative-scan
-    # fallback, on the flattened (S·T) instance batch of the production
-    # path (solver._sweep_flat_st)
-    muh = solver._mu_half(inp.mu_pos, hp, dtype)
-    b_n = n_s * t_n
-    h_b = jnp.broadcast_to(inp.h[0], (b_n, ntp1)).astype(dtype)
-    bc = jnp.asarray(rng.random((b_n, hp)), dtype=dtype)
-    field_b = field.reshape(b_n, ntp1, w)
-
+    # NOTE: every large array must be an ARGUMENT of the jitted fn — a
+    # closure constant gets baked into the executable and the remote-TPU
+    # compile request (HTTP 413 above ~100 MB)
     @jax.jit
-    def sweep_pallas_k(f):
-        def body(_, f):
-            return pallas_ops.sweep_flat_batched(h_b, muh, f, bc)
-        return jax.lax.fori_loop(0, k_chain, body, f)
+    def scatter_k(u, d, xb2, yb2, mb):
+        def body(_, u):
+            s = pallas_ops.scatter_fused(u, d, xb2, yb2, mb, bpo,
+                                         solver.MATMUL_PRECISION)
+            return s[:, :, :hp]
+        return jax.lax.fori_loop(0, k_chain, body, u)
 
-    @jax.jit
-    def sweep_scan_k(f):
-        def body(_, f):
-            return jax.vmap(solver._sweep_flat_scan,
-                            in_axes=(0, None, 0, 0))(h_b, muh, f, bc)
-        return jax.lax.fori_loop(0, k_chain, body, f)
-
-    res = {"scatter_matmul": scatter_res}
-    bytes_min = 2 * b_n * ntp1 * w * dtype.itemsize  # src in + field out
     try:
-        dt_p = _timeit(lambda: force(sweep_pallas_k(field_b))) / k_chain
+        dt = _timeit(lambda: force(
+            scatter_k(up, dn, xdel_b, ydel_b, mboth))) / k_chain
+        res["scatter_fused"] = {
+            "time_us": round(dt * 1e6, 1),
+            "tflops": round(flops / dt / 1e12, 2),
+            "mfu_pct": round(100.0 * flops / dt / peak_flops, 1)
+            if peak_flops else None,
+        }
+    except Exception as e:  # CPU or unsupported backend
+        res["scatter_fused"] = {"error": str(e)[:80]}
+
+    # --- layer sweep: Pallas affine-scan kernel vs the XLA
+    # associative-scan fallback, flattened (S·T) instance batch
+    muh = solver._mu_half(inp.mu_pos, hp, dtype)
+    h_b = jnp.broadcast_to(
+        jnp.pad(inp.h[0], (0, lp - ntp1), mode="edge").astype(dtype)[None],
+        (b_n, lp))
+    coeffs = pallas_ops.sweep_coeffs(h_b, nt)
+    bc = jnp.asarray(rng.random((b_n, hp)), dtype=dtype)
+    src_b = jnp.concatenate([up, dn], axis=-1)
+
+    @jax.jit
+    def sweep_pallas_k(s, cf, bc2):
+        def body(_, s):
+            u, d = pallas_ops.sweep_scan_batched(s, *cf, muh, bc2, nt)
+            return jnp.concatenate([u, d], axis=-1)
+        return jax.lax.fori_loop(0, k_chain, body, s)
+
+    @jax.jit
+    def sweep_scan_k(s, hb2, bc2):
+        def body(_, s):
+            return jax.vmap(solver._sweep_flat_scan,
+                            in_axes=(0, None, 0, 0))(hb2, muh, s, bc2)
+        return jax.lax.fori_loop(0, k_chain, body, s)
+
+    bytes_min = 2 * b_n * lp * w * dtype.itemsize  # src in + field out
+    try:
+        dt_p = _timeit(
+            lambda: force(sweep_pallas_k(src_b, coeffs, bc))) / k_chain
         res["sweep_pallas"] = {
             "time_us": round(dt_p * 1e6, 1),
             "gbps": round(bytes_min / dt_p / 1e9, 1),
@@ -136,7 +153,7 @@ def kernel_roofline(prob, peak_flops, peak_bw):
         }
     except Exception as e:  # CPU or unsupported backend
         res["sweep_pallas"] = {"error": str(e)[:80]}
-    dt_s = _timeit(lambda: force(sweep_scan_k(field_b))) / k_chain
+    dt_s = _timeit(lambda: force(sweep_scan_k(src_b, h_b, bc))) / k_chain
     res["sweep_scan"] = {"time_us": round(dt_s * 1e6, 1),
                          "gbps": round(bytes_min / dt_s / 1e9, 1)}
     return res

@@ -1,20 +1,35 @@
 """Pallas TPU kernels for the SOS hot path.
 
-The layer sweep (reference ``SOS_INTEGR_EPOPT``, ``src/SOS_OS.F:2222``) is a
-first-order affine recurrence over NT ~ 600 optical-depth levels.  XLA's
-``associative_scan`` evaluates it in ~log2(NT) full passes over HBM, which
-makes it the dominant cost of the whole solver once the field layout is
-lane-aligned.  The kernels here perform the recurrence *sequentially in
-VMEM*: one HBM read of the per-layer affine coefficients, one HBM write of
-the integrated field — the bandwidth-optimal schedule.
+The scattering loop of one IG order is two dense passes over the field
+(reference ``SOS_FSOURCE_ORDREIG`` + ``SOS_INTEGR_EPOPT``,
+``src/SOS_OS.F:2663`` / ``:2222``):
 
-Batch layout: instances ride the sublane axis (B = 8 per block, the native
-tile height).  Global arrays are (NT, TS, HP) so one level-slice of a block
-is a native (8, HP) tile row and the per-level loop runs at full VPU width.
-The level axis is split into grid chunks with the recurrence carry held in
-VMEM scratch across sequential grid steps (chunks of one instance block are
-consecutive; the up-sweep kernel walks its chunks in reverse via the block
-index map).
+1. **Fused scatter** (:func:`scatter_fused`): source = Gauss-weighted phase
+   contraction of the previous-order field.  The kernel reads a field
+   chunk, applies the per-level aerosol/molecular mixing *in VMEM*, and
+   multiplies by the per-order (2W, W) operator resident in VMEM — one HBM
+   read of the field, one write of the source.  The former XLA path
+   materialized the mixed+concatenated (.., 2W) operand (an extra
+   field-sized round trip) and, before that, a per-instance gather of the
+   operator.
+
+2. **Scan sweep** (:func:`sweep_scan_batched`): the layer integration is a
+   first-order affine recurrence over NT ~ 600 optical-depth levels.  Both
+   hemisphere sweeps run in ONE kernel on the *natural* (B, NT+1, W)
+   layout — levels ride the sublane axis and the recurrence is evaluated
+   as a Hillis-Steele inclusive scan of affine maps (``pltpu.roll`` along
+   sublanes + iota masks), with per-chunk carries across sequential grid
+   steps.  This replaces the earlier level-sequential kernel whose
+   per-level dynamic-slice steps cost ~80 cycles/level, and kills the two
+   full-field XLA transposes ((B, L, W) <-> (L, B, W)) that the
+   level-major layout required.
+
+Batch layout: instances (order-major: ``inst = s*T + t``) ride the leading
+axis in blocks of ``_IB = 8``; levels are chunked to ``_CH`` (a power of
+two — the scan depth is log2(_CH)); lanes carry one hemisphere block
+HP = ceil(3N/128)*128.  With order-major instance blocks every block of 8
+instances shares one Fourier order, so the scatter kernel's operator block
+is a single (2W, W) matrix.
 """
 
 from __future__ import annotations
@@ -27,200 +42,231 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK = 8          # instances per block = sublane tile height
-_CHUNK = 256        # levels per grid step
-_UNROLL = 8         # levels per loop iteration (amortizes loop overhead)
+_IB = 8           # instances per block = sublane tile height of one row-tile
+_CH = 128         # levels per chunk (power of two; scan depth = log2(_CH))
 
 
-def _dn_kernel(dtau_ref, rdtau_ref, mu_ref, rmu_ref, sdsh_ref, sd0_ref,
-               out_ref, carry, lo_s):
-    """Forward (TOA -> ground) recurrence over one level chunk, with the
-    affine step coefficients computed in VMEM.
+def pad_levels(nt: int) -> int:
+    """Level count padded to the kernel chunk size (identity pad layers)."""
+    return ((nt + 1 + _CH - 1) // _CH) * _CH
 
-    Per level ``i`` (``src/SOS_OS.F:2279-2354``, linear-in-tau source)::
 
-        att = exp(-dtau_i / mu)
-        al  = (sd[i+1] - sd[i]) / dtau_i          (0 on zero-thickness pads)
-        bd  = (1-att) * (-al*mu + sd[i+1]) + al*att*dtau_i
-        c   = att * c + bd
+# ---------------------------------------------------------------------------
+# Fused scatter: mix + per-order operator matmul (SOS_FSOURCE_ORDREIG)
+# ---------------------------------------------------------------------------
 
-    Blocks: dtau/rdtau (CH, 8); mu/rmu (1, HP); ``sdsh_ref`` (CH, 8, HP) =
-    downward-source rows shifted by one level (sd[i+1]); ``sd0_ref``
-    (8, HP) = sd[0].  Scratch ``carry`` holds the field recurrence and
-    ``lo_s`` the previous source row, both persisting across the
-    sequential chunk grid steps of one instance block.  Computing the
-    coefficients here (instead of materializing att/bu/bd through XLA)
-    drops the sweep's HBM traffic from ~8 field-sized passes to
-    read-src + write-out.
+def _scatter_kernel(up_ref, dn_ref, xd_ref, yd_ref, mb_ref, out_ref,
+                    precision):
+    ib, ch, hp = up_ref.shape
+    u, d = up_ref[:], dn_ref[:]
+    x, y = xd_ref[:], yd_ref[:]                      # (IB, CH, 1)
+    # rows of the flat operator are ordered [M_aer; M_mol] over the
+    # [up|dn] field lanes (solver._flat_operator)
+    f2 = jnp.concatenate([x * u, x * d, y * u, y * d], axis=-1)
+    src = jnp.dot(f2.reshape(ib * ch, 4 * hp), mb_ref[0],
+                  preferred_element_type=f2.dtype, precision=precision)
+    out_ref[:] = src.reshape(ib, ch, 2 * hp)
+
+
+def scatter_fused(up_h, dn_h, xdel_b, ydel_b, mboth, blocks_per_order,
+                  precision=lax.Precision.DEFAULT, interpret=False):
+    """Order-IG scattering source for the whole instance batch.
+
+    ``up_h/dn_h``: (B, LP, HP) field hemispheres; ``xdel_b/ydel_b``:
+    (B, LP, 1) per-level mixing fractions; ``mboth``: (S, 2W, W) per-order
+    operators.  ``B = S*T`` order-major with ``T`` a multiple of ``_IB`` so
+    each instance block maps to exactly one operator
+    (``blocks_per_order = T // _IB``).  Returns the source (B, LP, W).
     """
-    ch = sdsh_ref.shape[0]
-    mu = mu_ref[:]            # (1, HP), broadcasts against (8, HP)
-    rmu = rmu_ref[:]
+    b_n, lp, hp = up_h.shape
+    w = 2 * hp
+    nb, nc = b_n // _IB, lp // _CH
+    dtype = up_h.dtype
+
+    half_blk = pl.BlockSpec((_IB, _CH, hp), lambda b, c: (b, c, 0),
+                            memory_space=pltpu.VMEM)
+    col_blk = pl.BlockSpec((_IB, _CH, 1), lambda b, c: (b, c, 0),
+                           memory_space=pltpu.VMEM)
+    mb_blk = pl.BlockSpec(
+        (1, 2 * w, w), lambda b, c, _bpo=blocks_per_order: (b // _bpo, 0, 0),
+        memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((_IB, _CH, w), lambda b, c: (b, c, 0),
+                           memory_space=pltpu.VMEM)
+    kern = functools.partial(_scatter_kernel, precision=precision)
+    return pl.pallas_call(
+        kern, grid=(nb, nc),
+        in_specs=[half_blk, half_blk, col_blk, col_blk, mb_blk],
+        out_specs=out_blk,
+        out_shape=jax.ShapeDtypeStruct((b_n, lp, w), dtype),
+        interpret=interpret,
+    )(up_h, dn_h, xdel_b, ydel_b, mboth)
+
+
+# ---------------------------------------------------------------------------
+# Scan sweep: both hemisphere integrations in one kernel (SOS_INTEGR_EPOPT)
+# ---------------------------------------------------------------------------
+
+def _scan_fwd(a, b, iota):
+    """Inclusive Hillis-Steele scan of affine maps along the sublane
+    (level) axis, composing toward increasing level."""
+    ch = a.shape[1]
+    d = 1
+    while d < ch:
+        a_sh = pltpu.roll(a, d, 1)
+        b_sh = pltpu.roll(b, d, 1)
+        keep = iota >= d
+        b = jnp.where(keep, a * b_sh + b, b)
+        a = jnp.where(keep, a * a_sh, a)
+        d *= 2
+    return a, b
+
+
+def _scan_rev(a, b, iota):
+    """Inclusive scan composing toward decreasing level (up sweep).
+
+    ``pltpu.roll`` only takes non-negative shifts — a circular roll by
+    ``ch - d`` is the backward shift by ``d``."""
+    ch = a.shape[1]
+    d = 1
+    while d < ch:
+        a_sh = pltpu.roll(a, ch - d, 1)
+        b_sh = pltpu.roll(b, ch - d, 1)
+        keep = iota < ch - d
+        b = jnp.where(keep, a * b_sh + b, b)
+        a = jnp.where(keep, a * a_sh, a)
+        d *= 2
+    return a, b
+
+
+def _sweep_kernel(src_dn_ref, src_up_ref, dtd_ref, rtd_ref, dtu_ref,
+                  rtu_ref, mu_ref, rmu_ref, bc_ref,
+                  up_out_ref, dn_out_ref, c_dn, lo_dn, c_up, hi_up, nt):
+    """One grid step integrates a forward (down) chunk and a reversed (up)
+    chunk of one instance block.
+
+    Per-level affine step (linear-in-tau source, ``src/SOS_OS.F:2279-2354``),
+    re-indexed by *level* ``l``::
+
+        down:  f[l] = att(l-1,l)   * f[l-1] + bd(l)     l = 1..NT, f[0] = 0
+        up:    f[l] = att(l, l+1)  * f[l+1] + bu(l)     l = NT-1..0,
+                                                        f[NT] = bc
+
+    The ground boundary enters as the affine row (a=0, b=bc) at the global
+    level ``nt``; zero-thickness padding layers have dtau = rdtau = 0 and
+    reduce to identity rows automatically.  Chunk-boundary state (field
+    carry + adjacent source row) lives in VMEM scratch across the
+    sequential chunk steps of one instance block.
+    """
+    ch = src_dn_ref.shape[1]
+    mu, rmu = mu_ref[:], rmu_ref[:]
+    iota = lax.broadcasted_iota(jnp.int32, (1, ch, 1), 1)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        carry[:] = jnp.zeros_like(carry)
-        lo_s[:] = sd0_ref[:].reshape(lo_s.shape)
+        c_dn[:] = jnp.zeros_like(c_dn)
+        lo_dn[:] = jnp.zeros_like(lo_dn)
+        c_up[:] = jnp.zeros_like(c_up)
+        hi_up[:] = jnp.zeros_like(hi_up)
 
-    def body(i, cl):
-        c, lo = cl
-        base = i * _UNROLL
-        for u in range(_UNROLL):
-            idx = base + u
-            hi = sdsh_ref[pl.ds(idx, 1)][0]          # (8, HP)
-            dt = dtau_ref[pl.ds(idx, 1)][0]          # (8, 1)
-            rd = rdtau_ref[pl.ds(idx, 1)][0]
-            att = jnp.exp(-dt * rmu)
-            al = (hi - lo) * rd
-            c = att * c + ((1.0 - att) * (-al * mu + hi) + al * att * dt)
-            out_ref[pl.ds(idx, 1)] = c[None]
-            lo = hi
-        return c, lo
+    # ---- down sweep, chunk index c (forward) ----
+    hi = src_dn_ref[:]                                   # sd[l] rows
+    lo = pltpu.roll(hi, 1, 1)                            # sd[l-1]
+    lo = jnp.where(iota == 0, lo_dn[:][:, None, :], lo)
+    dt, rd = dtd_ref[:], rtd_ref[:]
+    a = jnp.exp(-dt * rmu)
+    al = (hi - lo) * rd
+    b = (1.0 - a) * (-al * mu + hi) + al * a * dt
+    a, b = _scan_fwd(a, b, iota)
+    fdn = a * c_dn[:][:, None, :] + b
+    dn_out_ref[:] = fdn
+    c_dn[:] = fdn[:, ch - 1]
+    lo_dn[:] = hi[:, ch - 1]
 
-    c, lo = lax.fori_loop(0, ch // _UNROLL, body, (carry[0], lo_s[0]))
-    carry[0] = c
-    lo_s[0] = lo
-
-
-def _up_kernel(dtau_ref, rdtau_ref, mu_ref, rmu_ref, sulo_ref, suN_ref,
-               bc_ref, out_ref, carry, hi_s):
-    """Backward (ground -> TOA) recurrence over one level chunk, fused
-    like ``_dn_kernel``.  Per level ``i`` (walked in decreasing order)::
-
-        al = (su[i+1] - su[i]) / dtau_i
-        bu = (1-att) * (al*mu + su[i]) - al*att*dtau_i
-        c  = att * c + bu
-
-    The index maps feed chunks in reverse level order; ``sulo_ref``
-    (CH, 8, HP) holds the su[i] rows (pad rows beyond the ground carry
-    su[NT] so the hi-chain survives the reversed walk across them);
-    ``suN_ref``: (8, HP) = su[NT], seeding the hi-chain; ``bc_ref``:
-    (8, HP) ground boundary."""
-    ch = sulo_ref.shape[0]
-    mu = mu_ref[:]            # (1, HP), broadcasts against (8, HP)
-    rmu = rmu_ref[:]
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        carry[:] = bc_ref[:].reshape(carry.shape)
-        hi_s[:] = suN_ref[:].reshape(carry.shape)
-
-    def body(k, chi):
-        c, hi = chi
-        base = ch - (k + 1) * _UNROLL
-        for u in range(_UNROLL):
-            idx = base + (_UNROLL - 1 - u)
-            lo = sulo_ref[pl.ds(idx, 1)][0]
-            dt = dtau_ref[pl.ds(idx, 1)][0]          # (8, 1)
-            rd = rdtau_ref[pl.ds(idx, 1)][0]
-            att = jnp.exp(-dt * rmu)
-            al = (hi - lo) * rd
-            c = att * c + ((1.0 - att) * (al * mu + lo) - al * att * dt)
-            out_ref[pl.ds(idx, 1)] = c[None]
-            hi = lo
-        return c, hi
-
-    c, hi = lax.fori_loop(0, ch // _UNROLL, body, (carry[0], hi_s[0]))
-    carry[0] = c
-    hi_s[0] = hi
+    # ---- up sweep, chunk index nc-1-c (reversed walk) ----
+    nc = pl.num_programs(1)
+    glob = (nc - 1 - pl.program_id(1)) * ch + iota       # global level
+    lo = src_up_ref[:]                                   # su[l] rows
+    hi = pltpu.roll(lo, ch - 1, 1)                       # su[l+1]
+    hi = jnp.where(iota == ch - 1, hi_up[:][:, None, :], hi)
+    dt, rd = dtu_ref[:], rtu_ref[:]
+    a = jnp.exp(-dt * rmu)
+    al = (hi - lo) * rd
+    b = (1.0 - a) * (al * mu + lo) - al * a * dt
+    is_ground = glob == nt
+    a = jnp.where(is_ground, 0.0, a)
+    b = jnp.where(is_ground, bc_ref[:][:, None, :], b)
+    a, b = _scan_rev(a, b, iota)
+    fup = a * c_up[:][:, None, :] + b
+    up_out_ref[:] = fup
+    c_up[:] = fup[:, 0]
+    hi_up[:] = lo[:, 0]
 
 
-def _pad_axis(x, axis, target, value=0.0):
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, target - x.shape[axis])
-    return jnp.pad(x, pad, constant_values=value)
+def sweep_scan_batched(src, dtau_dn, rdtau_dn, dtau_up, rdtau_up,
+                       muh, bc, nt, interpret=False):
+    """Integrate both hemispheres of the flat field batch in one kernel.
 
-
-def sweep_flat_batched(h_b, muh, src_b, bc_b, interpret=False):
-    """Batched flat-field sweep on TPU (see ``solver._sweep_flat_st``).
-
-    ``h_b``: (TS, NT+1) cumulative optical depths; ``muh``: (HP,) direction
-    cosines of one hemisphere block (pad slots 1); ``src_b``: (TS, NT+1, W)
-    flat sources; ``bc_b``: (TS, HP) upward ground boundary.  Returns the
-    integrated field (TS, NT+1, W).
-
-    The affine step coefficients (linear-in-tau source integration,
-    ``src/SOS_OS.F:2279-2354``) are computed *inside* the kernels from the
-    per-layer (dtau, 1/dtau) columns and the source rows — the sweep's HBM
-    traffic is one read of the sources plus one write of the field, instead
-    of materializing att/bu/bd ((NT, TS, HP) each) through XLA first.
+    ``src``: (B, LP, W) flat sources (up lanes [0, HP), down [HP, 2HP));
+    ``dtau_dn[l] = h[l]-h[l-1]`` (0 at l = 0 and on pads), ``dtau_up[l] =
+    h[l+1]-h[l]`` (0 at l >= nt), each (B, LP, 1) with matching reciprocal
+    arrays; ``muh``: (HP,) direction cosines (pad slots 1); ``bc``:
+    (B, HP) upward ground boundary; ``nt``: ground level index (static).
+    Returns ``(up, dn)`` each (B, LP, HP):  ``up[l]`` for l <= nt (rows
+    above nt hold bc / pad values), ``dn[l]`` with dn[0] = 0.
     """
-    ts, ntp1, w = src_b.shape
+    b_n, lp, w = src.shape
     hp = w // 2
-    nt = ntp1 - 1
-    dtype = src_b.dtype
+    nb, nc = b_n // _IB, lp // _CH
+    dtype = src.dtype
 
-    h_t = jnp.swapaxes(h_b, 0, 1)                    # (NT+1, TS)
-    dtau = h_t[1:] - h_t[:-1]                        # (NT, TS)
-    pos = dtau > 0.0
-    # zero-thickness padding layers are identity steps: dtau = rdtau = 0
-    # gives att = 1 and al = 0 inside the kernels
-    rdtau = jnp.where(pos, 1.0 / jnp.where(pos, dtau, 1.0), 0.0)
-    src_t = jnp.swapaxes(src_b, 0, 1)                # (NT+1, TS, W)
-    su, sd = src_t[:, :, :hp], src_t[:, :, hp:]
-
-    # pad instances to the sublane block and levels to the chunk size;
-    # padding levels are identity steps appended after the ground (down
-    # sweep: trailing no-ops; up sweep: leading no-ops on the reversed walk)
-    ch = min(_CHUNK, ((nt + _UNROLL - 1) // _UNROLL) * _UNROLL) if nt else 1
-    tsp = ((ts + _BLOCK - 1) // _BLOCK) * _BLOCK
-    ntp = ((nt + ch - 1) // ch) * ch
-    # (NTP, TSP, 1): all level-major operands slice along the sublane axis
-    # (a (CH, 8) block would violate the TPU lane-dim blocking rule)
-    dtau = _pad_axis(_pad_axis(dtau, 1, tsp), 0, ntp)[:, :, None]
-    rdtau = _pad_axis(_pad_axis(rdtau, 1, tsp), 0, ntp)[:, :, None]
-    sdsh = _pad_axis(_pad_axis(sd[1:], 1, tsp), 0, ntp)     # sd[i+1] rows
-    sd0 = _pad_axis(sd[0], 0, tsp)
-    suN = _pad_axis(su[nt], 0, tsp)
-    sulo = _pad_axis(su[:nt], 1, tsp)                       # su[i] rows
-    if ntp > nt:
-        # pad rows carry su[NT] so the up-sweep hi-chain survives the
-        # reversed walk across the padding levels
-        sulo = jnp.concatenate(
-            [sulo, jnp.broadcast_to(suN[None], (ntp - nt, tsp, hp))], axis=0)
-    bc = _pad_axis(bc_b, 0, tsp)
-    mu2 = muh.astype(dtype)[None]                           # (1, HP)
-    rmu2 = (1.0 / muh.astype(dtype))[None]
-
-    nb, nc = tsp // _BLOCK, ntp // ch
-    col_blk = pl.BlockSpec((ch, _BLOCK, 1), lambda g, c: (c, g, 0),
-                           memory_space=pltpu.VMEM)
-    col_blk_rev = pl.BlockSpec(
-        (ch, _BLOCK, 1), lambda g, c, _nc=nc: (_nc - 1 - c, g, 0),
-        memory_space=pltpu.VMEM)
-    level_blk = pl.BlockSpec((ch, _BLOCK, hp), lambda g, c: (c, g, 0),
-                             memory_space=pltpu.VMEM)
-    level_blk_rev = pl.BlockSpec(
-        (ch, _BLOCK, hp), lambda g, c, _nc=nc: (_nc - 1 - c, g, 0),
-        memory_space=pltpu.VMEM)
-    mu_blk = pl.BlockSpec((1, hp), lambda g, c: (0, 0),
+    up_blk = pl.BlockSpec((_IB, _CH, hp), lambda b, c, _nc=nc:
+                          (b, _nc - 1 - c, 0), memory_space=pltpu.VMEM)
+    dn_blk = pl.BlockSpec((_IB, _CH, hp), lambda b, c: (b, c, 1),
                           memory_space=pltpu.VMEM)
-    row_blk = pl.BlockSpec((_BLOCK, hp), lambda g, c: (g, 0),
+    col_fwd = pl.BlockSpec((_IB, _CH, 1), lambda b, c: (b, c, 0),
                            memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((1, _BLOCK, hp), dtype),
-               pltpu.VMEM((1, _BLOCK, hp), dtype)]
-
-    dn = pl.pallas_call(
-        _dn_kernel, grid=(nb, nc),
-        in_specs=[col_blk, col_blk, mu_blk, mu_blk, level_blk, row_blk],
-        out_specs=level_blk,
-        out_shape=jax.ShapeDtypeStruct((ntp, tsp, hp), dtype),
+    col_rev = pl.BlockSpec((_IB, _CH, 1), lambda b, c, _nc=nc:
+                           (b, _nc - 1 - c, 0), memory_space=pltpu.VMEM)
+    mu_blk = pl.BlockSpec((1, hp), lambda b, c: (0, 0),
+                          memory_space=pltpu.VMEM)
+    bc_blk = pl.BlockSpec((_IB, hp), lambda b, c: (b, 0),
+                          memory_space=pltpu.VMEM)
+    out_up = pl.BlockSpec((_IB, _CH, hp), lambda b, c, _nc=nc:
+                          (b, _nc - 1 - c, 0), memory_space=pltpu.VMEM)
+    out_dn = pl.BlockSpec((_IB, _CH, hp), lambda b, c: (b, c, 0),
+                          memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((_IB, hp), dtype) for _ in range(4)]
+    kern = functools.partial(_sweep_kernel, nt=nt)
+    mu2 = muh.astype(dtype)[None]
+    rmu2 = (1.0 / muh.astype(dtype))[None]
+    return pl.pallas_call(
+        kern, grid=(nb, nc),
+        in_specs=[dn_blk, up_blk, col_fwd, col_fwd, col_rev, col_rev,
+                  mu_blk, mu_blk, bc_blk],
+        out_specs=(out_up, out_dn),
+        out_shape=(jax.ShapeDtypeStruct((b_n, lp, hp), dtype),
+                   jax.ShapeDtypeStruct((b_n, lp, hp), dtype)),
         scratch_shapes=scratch, interpret=interpret,
-    )(dtau, rdtau, mu2, rmu2, sdsh, sd0)
+    )(src, src, dtau_dn, rdtau_dn, dtau_up, rdtau_up, mu2, rmu2, bc)
 
-    up = pl.pallas_call(
-        _up_kernel, grid=(nb, nc),
-        in_specs=[col_blk_rev, col_blk_rev, mu_blk, mu_blk, level_blk_rev,
-                  row_blk, row_blk],
-        out_specs=level_blk_rev,
-        out_shape=jax.ShapeDtypeStruct((ntp, tsp, hp), dtype),
-        scratch_shapes=scratch, interpret=interpret,
-    )(dtau, rdtau, mu2, rmu2, sulo, suN, bc)
 
-    # assemble (NT+1, TSP, W): up rows are levels 0..NT-1 + bc at ground;
-    # down rows are zero at TOA + levels 1..NT
-    up_full = jnp.concatenate([up[:nt], bc[None]], axis=0)
-    dn_full = jnp.concatenate([jnp.zeros((1, tsp, hp), dtype), dn[:nt]],
-                              axis=0)
-    out = jnp.concatenate([up_full, dn_full], axis=-1)
-    return jnp.swapaxes(out[:, :ts], 0, 1)
+def sweep_coeffs(h_b, nt):
+    """Per-level affine-step inputs for :func:`sweep_scan_batched`.
+
+    ``h_b``: (B, LP) cumulative optical depths (edge-padded past the
+    ground).  Returns (dtau_dn, rdtau_dn, dtau_up, rdtau_up), each
+    (B, LP, 1).
+    """
+    b_n, lp = h_b.shape
+    zero = jnp.zeros((b_n, 1), h_b.dtype)
+    d_dn = jnp.concatenate([zero, h_b[:, 1:] - h_b[:, :-1]], axis=1)
+    d_up = jnp.concatenate([h_b[:, 1:] - h_b[:, :-1], zero], axis=1)
+    lvl = jnp.arange(lp)
+    d_up = jnp.where(lvl[None, :] >= nt, 0.0, d_up)
+
+    def recip(d):
+        pos = d > 0.0
+        return jnp.where(pos, 1.0 / jnp.where(pos, d, 1.0), 0.0)
+
+    return (d_dn[..., None], recip(d_dn)[..., None],
+            d_up[..., None], recip(d_up)[..., None])

@@ -12,12 +12,13 @@ Fourier loop ``DO IS``           batch axis S — every order solved at once
                                  ``fourier_stop_mask``)
 ``SOS_NOYAUX``                   precomputed GSF basis + ``kernels.py`` matmuls
 ``SOS_FSOURCE_ORDRE1``           primary source, inline in ``_solve_st``
-``SOS_FSOURCE_ORDREIG``          ``_scatter_st`` — one (S, T·(NT+1), 2W) @
-  (``src/SOS_OS.F:2663``)        (S, 2W, W) batched MXU matmul per IG with
-                                 the per-order operator shared across terms
-``SOS_INTEGR_EPOPT``             ``_sweep_flat_st`` — Pallas sequential
-  (``src/SOS_OS.F:2222``)        recurrence on TPU f32, else an
-                                 ``associative_scan`` on affine maps
+``SOS_FSOURCE_ORDREIG``          ``pallas_ops.scatter_fused`` (TPU f32) —
+  (``src/SOS_OS.F:2663``)        mix + per-order operator matmul in one
+                                 kernel; XLA batched matmul elsewhere
+``SOS_INTEGR_EPOPT``             ``pallas_ops.sweep_scan_batched`` (TPU
+  (``src/SOS_OS.F:2222``)        f32) — both hemisphere sweeps as an
+                                 affine Hillis-Steele scan; vmapped
+                                 ``associative_scan`` elsewhere
 ``DO 503`` scattering loop       ``lax.scan`` over IG with per-order masking
 ``SOS_PARAM_CONV`` etc.          ``_param_conv`` / stop tests in the scan body
 ``SOS_AJOUT_QUEUE``              ``_queue`` (geometric-series tail)
@@ -277,51 +278,13 @@ def _sweep_flat_scan(h, mu_half, src, bc_up):
     return jnp.concatenate([up, dn], axis=1)
 
 
-def _sweep_flat_st(h_st, mu_half, src_st, bc_st):
-    """Flat-field sweep over an explicit instance batch.
-
-    ``h_st``: (B, NT+1), ``src_st``: (B, NT+1, W), ``bc_st``: (B, HP) with
-    ``B`` the flattened (order, term) instance axis.  On TPU in f32 the
-    batch dispatches to the Pallas sequential-recurrence kernel
-    (``pallas_ops.sweep_flat_batched``), which replaces the associative
-    scan's ~log2(NT) HBM passes with one; elsewhere the vmapped
-    associative-scan path runs.
-    """
-    if jax.default_backend() == "tpu" and src_st.dtype == jnp.float32:
-        from . import pallas_ops
-        return pallas_ops.sweep_flat_batched(h_st, mu_half, src_st, bc_st)
-    return jax.vmap(_sweep_flat_scan, in_axes=(0, None, 0, 0))(
-        h_st, mu_half, src_st, bc_st)
-
-
 # ---------------------------------------------------------------------------
 # Source functions
 # ---------------------------------------------------------------------------
 
-def _scatter_st(mboth, xdel, ydel, field):
-    """Batched order-IG source (``SOS_FSOURCE_ORDREIG``) for the whole
-    (order, term) grid.
-
-    ``field``: (S, T, NT+1, W); ``mboth``: (S, 2W, W) per-order operators
-    (terms share them); ``xdel/ydel``: (T, NT+1).  The (S, T·(NT+1), 2W) @
-    (S, 2W, W) batched matmul keeps the operator resident per order instead
-    of gathering a per-instance copy (the former vmap-over-(T·S) layout
-    materialized mboth once per instance — at 16 terms x 81 orders that is
-    ~0.7 GB of pure gather traffic per scattering order).
-    """
-    s_n, t_n, ntp1, w = field.shape
-    xb = xdel[None, :, :, None]
-    yb = ydel[None, :, :, None]
-    f2 = jnp.concatenate([xb * field, yb * field], axis=-1)
-    f2 = f2.reshape(s_n, t_n * ntp1, 2 * w)
-    out = jnp.matmul(f2, mboth, preferred_element_type=field.dtype,
-                     precision=MATMUL_PRECISION)
-    return out.reshape(s_n, t_n, ntp1, w)
-
-
-def _fresnel_primary_st(k_aer, k_mol, xdel, ydel, h, tab, f11, f12, hp):
+def _fresnel_primary_st(k_aer, k_mol, xdel, ydel, h, tab, f11, f12, hp, nt):
     """Source for the first scattering of the flat-sea-reflected sun beam,
-    batched over the (order, term) grid — returns (S, T, NT+1, W).
+    batched over the (order, term) grid — returns (S, T, LP, W).
 
     Transcription of ``SOS_FSOURCE_DIFF_FRESNEL1`` (``src/SOS_OS.F:3106``):
     staggered levels — the upward source at level i uses the level-i mixture,
@@ -384,6 +347,11 @@ def _fresnel_primary_st(k_aer, k_mol, xdel, ydel, h, tab, f11, f12, hp):
     up3 = jnp.stack([jnp.concatenate([up_i, zrow], axis=2),
                      jnp.concatenate([up_q, zrow], axis=2),
                      jnp.concatenate([up_u, zrow], axis=2)], axis=3)
+    # the upward source rows exist at levels 0..NT-1 only — the ground row
+    # (and level pads past it) must stay zero, because the last up layer
+    # reads su[NT] (src/SOS_OS.F:3277-3282)
+    lvl = jnp.arange(h.shape[1])
+    up3 = jnp.where((lvl < nt)[None, None, :, None, None], up3, 0.0)
 
     # downward source rows, defined at levels 1..NT (src/SOS_OS.F:3285-3289)
     dn_i = cdn * (f11s * mixl(bp_0j, xhi, yhi)
@@ -480,14 +448,6 @@ def _queue(d1, g1):
     return jnp.where(d1 != 0.0, g1 / (1.0 - _safe_div(g1, d1)), 0.0)
 
 
-def _bnd(field, hp):
-    """(..., NT+1, W) -> (..., W): TOA row for the up half, ground row for
-    the down half."""
-    ntp1 = field.shape[-2]
-    return jnp.concatenate([field[..., 0, :hp],
-                            field[..., ntp1 - 1, hp:]], axis=-1)
-
-
 # ---------------------------------------------------------------------------
 # The (Fourier order x CKD term) grid: primary interaction + scattering loop
 # ---------------------------------------------------------------------------
@@ -496,74 +456,141 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
               h, xdel, ydel, tab, inp: SolveInputs, opt: SolveOptions):
     """Solve the IG loop for the whole (S orders x T terms) grid at once.
 
-    Explicit batching, no ``vmap``: the field is (S, T, NT+1, W), the
-    scattering-source contraction is one batched matmul per IG with the
-    per-order operator shared across terms (``_scatter_st``), and the layer
-    sweep runs on the flattened (S·T) instance axis.  Every convergence /
-    stop quantity of the reference's per-(IS) scalar machinery
-    (``src/SOS_OS.F:1285-1406``) is carried as an (S, T) array.
+    Explicit batching, no ``vmap``: the field lives as (up, dn) hemisphere
+    halves of shape (S, T, LP, HP) with the level axis padded to the
+    Pallas chunk size, the scattering-source contraction keeps the
+    per-order operator shared across terms (``pallas_ops.scatter_fused``
+    on TPU f32, one batched matmul elsewhere), and the layer sweep runs on
+    the flattened (S·T) instance axis (``pallas_ops.sweep_scan_batched``
+    on TPU f32).  Every convergence / stop quantity of the reference's
+    per-(IS) scalar machinery (``src/SOS_OS.F:1285-1406``) is carried as
+    an (S, T) array.
 
     ``h/xdel/ydel``: (T, NT+1); ``tab``: (T,); ``col_a/col_m``: (S, 1, W)
     (solar incidence, shared over terms) or (S, T, W) (per-term reciprocity
-    directions).  Returns ``(i3 (S,T,W), acc (S,T,NT+1,W) | dummy,
+    directions).  Returns ``(i3 (S,T,W), acc (S,T,LP,W) | dummy,
     ig_last (S,T), stop_code (S,T))``.
     """
+    from . import pallas_ops as po
+
     mu = inp.mu_pos
     n = mu.shape[0]
     s_n = mboth.shape[0]
     t_n = h.shape[0]
-    ntp1 = h.shape[1]
+    nt = h.shape[1] - 1                  # ground level index
     hp = mboth.shape[-1] // 2
     dtype = h.dtype
     muh = _mu_half(mu, hp, dtype)
 
-    h_flat = jnp.broadcast_to(h[None], (s_n, t_n, ntp1)).reshape(
-        s_n * t_n, ntp1)
+    # pad the level axis to the kernel chunk size with identity (dtau = 0)
+    # layers after the ground; every consumer reads rows <= nt only
+    lp = po.pad_levels(nt)
+    pad_l = lp - (nt + 1)
+    h_p = jnp.pad(h, ((0, 0), (0, pad_l)), mode="edge")
+    xdel_p = jnp.pad(xdel, ((0, 0), (0, pad_l)), mode="edge")
+    ydel_p = jnp.pad(ydel, ((0, 0), (0, pad_l)), mode="edge")
 
-    def sweep(src, bc):
-        out = _sweep_flat_st(h_flat, muh,
-                             src.reshape(s_n * t_n, ntp1, 2 * hp),
-                             bc.reshape(s_n * t_n, hp))
-        return out.reshape(s_n, t_n, ntp1, 2 * hp)
+    b_n = s_n * t_n
+    h_flat = jnp.broadcast_to(h_p[None], (s_n, t_n, lp)).reshape(b_n, lp)
+    use_tpu = jax.default_backend() == "tpu" and dtype == jnp.float32
+
+    # The field lives as (up, dn) hemisphere halves, (S, T, LP, HP) each —
+    # on TPU the Pallas kernels produce/consume the halves directly and no
+    # full-field transpose or concat ever runs on the hot path.
+    if use_tpu:
+        bp = ((b_n + po._IB - 1) // po._IB) * po._IB
+        h_flat_p = jnp.pad(h_flat, ((0, bp - b_n), (0, 0)))
+        coeffs = po.sweep_coeffs(h_flat_p, nt)
+
+        def sweep(src, bc):
+            s4 = src.reshape(b_n, lp, 2 * hp)
+            b2 = bc.reshape(b_n, hp)
+            if bp != b_n:
+                s4 = jnp.pad(s4, ((0, bp - b_n), (0, 0), (0, 0)))
+                b2 = jnp.pad(b2, ((0, bp - b_n), (0, 0)))
+            up, dn = po.sweep_scan_batched(s4, *coeffs, muh, b2, nt)
+            return (up[:b_n].reshape(s_n, t_n, lp, hp),
+                    dn[:b_n].reshape(s_n, t_n, lp, hp))
+    else:
+        def sweep(src, bc):
+            out = jax.vmap(_sweep_flat_scan, in_axes=(0, None, 0, 0))(
+                h_flat, muh, src.reshape(b_n, lp, 2 * hp),
+                bc.reshape(b_n, hp))
+            out = out.reshape(s_n, t_n, lp, 2 * hp)
+            return out[..., :hp], out[..., hp:]
+
+    xb = xdel_p[None, :, :, None]
+    yb = ydel_p[None, :, :, None]
+    if use_tpu and t_n % po._IB == 0:
+        # order-major instance blocks each hold _IB terms of ONE order, so
+        # the fused kernel keeps that order's operator resident in VMEM
+        xdel_b = jnp.broadcast_to(
+            xdel_p[None], (s_n, t_n, lp)).reshape(b_n, lp, 1)
+        ydel_b = jnp.broadcast_to(
+            ydel_p[None], (s_n, t_n, lp)).reshape(b_n, lp, 1)
+        bpo = t_n // po._IB
+
+        def scatter(up, dn):
+            src = po.scatter_fused(up.reshape(b_n, lp, hp),
+                                   dn.reshape(b_n, lp, hp),
+                                   xdel_b, ydel_b, mboth, bpo,
+                                   MATMUL_PRECISION)
+            return src.reshape(s_n, t_n, lp, 2 * hp)
+    else:
+        def scatter(up, dn):
+            f2 = jnp.concatenate([xb * up, xb * dn, yb * up, yb * dn],
+                                 axis=-1)
+            f2 = f2.reshape(s_n, t_n * lp, 4 * hp)
+            src = jnp.matmul(f2, mboth, preferred_element_type=dtype,
+                             precision=MATMUL_PRECISION)
+            return src.reshape(s_n, t_n, lp, 2 * hp)
 
     # ----- order IG = 1 (SOS_FSOURCE_ORDRE1, src/SOS_OS.F:2431) -----
-    ch = jnp.exp(h / tab[:, None]) / 4.0                     # (T, NT+1)
-    mix = (xdel[None, :, :, None] * col_a[:, :, None, :]
-           + ydel[None, :, :, None] * col_m[:, :, None, :])  # (S,T,L,W)
-    src1 = ch[None, :, :, None] * mix
-    bc1, xr1 = _order1_bc_st(inp, opt, rmat, is0, hp, h, tab)
-    field = sweep(src1, bc1)
+    ch = jnp.exp(h_p / tab[:, None]) / 4.0                   # (T, LP)
+    mix = (xdel_p[None, :, :, None] * col_a[:, :, None, :]
+           + ydel_p[None, :, :, None] * col_m[:, :, None, :])
+    src1 = ch[None, :, :, None] * mix                        # (S,T,LP,W)
+    bc1, xr1 = _order1_bc_st(inp, opt, rmat, is0, hp, h_p, tab)
+    up, dn = sweep(src1, bc1)
 
     if opt.ifresnel:
-        srcf = _fresnel_primary_st(k_aer, k_mol, xdel, ydel, h, tab,
-                                   inp.surface.f11, inp.surface.f12, hp)
-        field = field + sweep(srcf, jnp.zeros_like(bc1))
+        srcf = _fresnel_primary_st(k_aer, k_mol, xdel_p, ydel_p, h_p, tab,
+                                   inp.surface.f11, inp.surface.f12, hp,
+                                   nt)
+        u2, d2 = sweep(srcf, jnp.zeros_like(bc1))
+        up = up + u2
+        dn = dn + d2
 
     # direct-reflection contribution to be removed at the end
     # (src/SOS_OS.F:1062-1084): attenuated transport of the ground BRDF
     # reflection of the direct beam
     if opt.imat_surf:
-        up_ground = field[:, :, -1, :3 * n].reshape(s_n, t_n, 3, n)
+        up_ground = up[:, :, nt, :3 * n].reshape(s_n, t_n, 3, n)
         xr3 = jnp.zeros((s_n, t_n, 3, n), dtype).at[:, :, 0].set(xr1)
         if opt.use_zout:
-            att = jnp.exp(-(h[:, -1:] - h)[:, :, None, None] / mu)
+            att = jnp.exp(-(h_p[:, nt:nt + 1] - h_p)[:, :, None, None]
+                          / mu)
             rii_full = _pad_half(
                 att[None] * (up_ground - xr3)[:, :, None], hp)
         else:
-            att0 = jnp.exp(-(h[:, -1:] - h[:, :1]) / mu[None])   # (T, N)
+            att0 = jnp.exp(-(h_p[:, nt:nt + 1] - h_p[:, :1]) / mu[None])
             rii0 = _pad_half(att0[None, :, None] * (up_ground - xr3), hp)
     else:
-        rii_full = jnp.zeros((s_n, t_n, ntp1, hp), dtype)
+        rii_full = jnp.zeros((s_n, t_n, lp, hp), dtype)
         rii0 = jnp.zeros((s_n, t_n, hp), dtype)
 
-    i3 = _bnd(field, hp)                                     # (S, T, W)
+    def bnd(u, d):
+        return jnp.concatenate([u[:, :, 0], d[:, :, nt]], axis=-1)
+
+    i3 = bnd(up, dn)                                         # (S, T, W)
     d1 = i3
     a1 = jnp.zeros_like(i3)
     if opt.use_zout:
-        acc = field
-        d1out = field
+        acc = (up, dn)
+        d1out = (up, dn)
     else:
-        acc = jnp.zeros((1,), dtype)
+        dummy = jnp.zeros((1,), dtype)
+        acc = (dummy, dummy)
         d1out = acc
 
     def cond(carry):
@@ -573,11 +600,11 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
     def body(carry):
         (ig, fld, i3_c, a1_c, d1_c, acc_c, d1out_c, done, diag) = carry
 
-        src = _scatter_st(mboth, xdel, ydel, fld)
-        bc = _surface_reflect_st(fld[:, :, -1, hp:], inp, opt, rmat, is0,
-                                 hp)
+        up_c, dn_c = fld
+        src = scatter(up_c, dn_c)
+        bc = _surface_reflect_st(dn_c[:, :, nt], inp, opt, rmat, is0, hp)
         new = sweep(src, bc)
-        g1 = _bnd(new, hp)                                   # (S, T, W)
+        g1 = bnd(*new)                                       # (S, T, W)
 
         # geometric-series test, skipped at IG == 2 (src/SOS_OS.F:1285-1293)
         z_conv = _param_conv(a1_c, d1_c, g1, i3_c)           # (S, T)
@@ -593,9 +620,12 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
         if opt.use_zout:
             c_f = conv[..., None, None]
             a_f = active[..., None, None]
-            acc_n = jnp.where(c_f, acc_c + _queue(d1out_c, new),
-                              jnp.where(a_f, acc_c + new, acc_c))
-            d1out_n = jnp.where(a_f, new, d1out_c)
+            acc_n = tuple(
+                jnp.where(c_f, a_h + _queue(q_h, n_h),
+                          jnp.where(a_f, a_h + n_h, a_h))
+                for a_h, q_h, n_h in zip(acc_c, d1out_c, new))
+            d1out_n = tuple(jnp.where(a_f, n_h, q_h)
+                            for q_h, n_h in zip(d1out_c, new))
         else:
             acc_n, d1out_n = acc_c, d1out_c
 
@@ -633,20 +663,22 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
     # (order, term) instance in the grid is done, the rest stay masked
     diag0 = (jnp.full((s_n, t_n), 1, jnp.int32),
              jnp.zeros((s_n, t_n), jnp.int32))
-    init = (jnp.asarray(2, dtype=jnp.int32), field, i3, a1, d1, acc, d1out,
-            jnp.zeros((s_n, t_n), bool), diag0)
-    (_, field, i3, a1, d1, acc, d1out, done, diag) = lax.while_loop(
+    init = (jnp.asarray(2, dtype=jnp.int32), (up, dn), i3, a1, d1, acc,
+            d1out, jnp.zeros((s_n, t_n), bool), diag0)
+    (_, _, i3, a1, d1, acc, d1out, done, diag) = lax.while_loop(
         cond, body, init)
     ig_last, stop_code = diag
 
     # remove the stored direct-reflection term (src/SOS_OS.F:1421-1439)
     if opt.imat_surf:
         if opt.use_zout:
-            acc = acc.at[..., :hp].add(-rii_full)
+            acc = (acc[0] - rii_full, acc[1])
             i3 = i3.at[..., :hp].add(-rii_full[:, :, 0])
         else:
             i3 = i3.at[..., :hp].add(-rii0)
-    return i3, acc, ig_last, stop_code
+    acc_full = (jnp.concatenate(acc, axis=-1) if opt.use_zout
+                else jnp.zeros((1,), dtype))
+    return i3, acc_full, ig_last, stop_code
 
 
 def solve_fourier(inp: SolveInputs, opt: SolveOptions) -> FourierResult:

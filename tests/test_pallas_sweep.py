@@ -1,19 +1,24 @@
-"""Pallas sweep kernels vs. the associative-scan reference.
+"""Pallas hot-path kernels vs. their XLA references, on CPU.
 
-Round-2's final commit shipped `pallas_ops.sweep_flat_batched` with kernel
-signatures out of sync with their `pallas_call` operands — every TPU f32
-solve crashed while the CPU suite stayed green, because nothing exercised
-the kernels off-TPU.  These tests run the *real* kernels in interpret mode
-on CPU (`pl.pallas_call(..., interpret=True)`) and assert allclose against
-`solver._sweep_flat_scan`, so breaking the kernel contract now fails the
-CPU suite.  Reference recurrence: ``SOS_INTEGR_EPOPT``,
-``/root/reference/src/SOS_OS.F:2222-2354``.
+Round-2's final commit shipped a Pallas sweep with kernel signatures out of
+sync with their `pallas_call` operands — every TPU f32 solve crashed while
+the CPU suite stayed green, because nothing exercised the kernels off-TPU.
+These tests run the *real* kernels in interpret mode on CPU
+(`pl.pallas_call(..., interpret=True)`) and assert against the XLA
+fallbacks, so breaking a kernel contract fails the CPU suite.
+
+Covered: `pallas_ops.sweep_scan_batched` (affine Hillis-Steele layer
+integration, reference ``SOS_INTEGR_EPOPT``,
+``/root/reference/src/SOS_OS.F:2222-2354``) and `pallas_ops.scatter_fused`
+(mix + per-order operator matmul, reference ``SOS_FSOURCE_ORDREIG``,
+``src/SOS_OS.F:2663``).
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax import lax
 
 from radiativetransfer_sos_tpu import pallas_ops
 from radiativetransfer_sos_tpu.solver import _sweep_flat_scan
@@ -24,7 +29,6 @@ def _case(nt, ts, hp, seed, zero_pad_layers=0):
     padding layers (dtau = 0) like the profile discretizer's static-NT pad."""
     rng = np.random.default_rng(seed)
     w = 2 * hp
-    # increasing cumulative optical depths, shared shape per instance
     dh = rng.uniform(1e-4, 5e-2, size=(ts, nt)).astype(np.float32)
     if zero_pad_layers:
         dh[:, nt - zero_pad_layers:] = 0.0
@@ -37,6 +41,24 @@ def _case(nt, ts, hp, seed, zero_pad_layers=0):
     return jnp.asarray(h), jnp.asarray(muh), jnp.asarray(src), jnp.asarray(bc)
 
 
+def _run_scan_kernel(h, muh, src, bc, interpret=True):
+    """Drive sweep_scan_batched through the solver's padding conventions:
+    levels padded to the chunk size (identity layers), instances padded to
+    the block size.  Returns (up, dn) trimmed back to (TS, NT+1, HP)."""
+    ts, ntp1, w = src.shape
+    hp = w // 2
+    nt = ntp1 - 1
+    lp = pallas_ops.pad_levels(nt)
+    bp = ((ts + pallas_ops._IB - 1) // pallas_ops._IB) * pallas_ops._IB
+    h_p = jnp.pad(h, ((0, bp - ts), (0, lp - ntp1)), mode="edge")
+    src_p = jnp.pad(src, ((0, bp - ts), (0, lp - ntp1), (0, 0)))
+    bc_p = jnp.pad(bc, ((0, bp - ts), (0, 0)))
+    coeffs = pallas_ops.sweep_coeffs(h_p, nt)
+    up, dn = pallas_ops.sweep_scan_batched(src_p, *coeffs, muh, bc_p, nt,
+                                           interpret=interpret)
+    return np.asarray(up[:ts, :ntp1]), np.asarray(dn[:ts, :ntp1])
+
+
 def _f64_reference(h, muh, src, bc):
     """f64 associative-scan sweep — the accumulation-order-independent
     truth both f32 paths are judged against."""
@@ -46,35 +68,66 @@ def _f64_reference(h, muh, src, bc):
     return np.asarray(out)
 
 
-def _assert_as_accurate(got, h, muh, src, bc):
-    """The kernel and the f32 scan round differently (sequential vs tree
-    composition), so compare both to the f64 truth: the kernel's worst error
-    must be within a small factor of the f32 scan's own worst error."""
+def _assert_as_accurate(up, dn, h, muh, src, bc):
+    """The kernel and the f32 scan round differently (roll-based vs
+    slice-based tree composition), so compare both to the f64 truth: the
+    kernel's worst error must be within a small factor of the f32 scan's
+    own worst error."""
+    hp = muh.shape[0]
     want = _f64_reference(h, muh, src, bc)
     scan32 = np.asarray(jax.vmap(_sweep_flat_scan, in_axes=(0, None, 0, 0))(
         h, muh, src, bc))
-    err_got = np.max(np.abs(np.asarray(got) - want))
+    got = np.concatenate([up, dn], axis=-1)
+    err_got = np.max(np.abs(got - want))
     err_scan = np.max(np.abs(scan32 - want))
     assert err_got <= 4.0 * err_scan + 1e-6, (err_got, err_scan)
 
 
 @pytest.mark.parametrize("nt,ts", [(1, 1), (7, 3), (255, 8), (600, 9)])
-def test_interpret_matches_scan(nt, ts):
+def test_sweep_interpret_matches_scan(nt, ts):
     h, muh, src, bc = _case(nt, ts, hp=16, seed=nt * 31 + ts)
-    got = pallas_ops.sweep_flat_batched(h, muh, src, bc, interpret=True)
-    _assert_as_accurate(got, h, muh, src, bc)
+    up, dn = _run_scan_kernel(h, muh, src, bc)
+    _assert_as_accurate(up, dn, h, muh, src, bc)
 
 
-def test_interpret_zero_thickness_pad_layers():
+def test_sweep_interpret_zero_thickness_pad_layers():
     # trailing dtau == 0 layers must be identity steps (profile pads)
     h, muh, src, bc = _case(120, 5, hp=16, seed=7, zero_pad_layers=30)
-    got = pallas_ops.sweep_flat_batched(h, muh, src, bc, interpret=True)
-    _assert_as_accurate(got, h, muh, src, bc)
+    up, dn = _run_scan_kernel(h, muh, src, bc)
+    _assert_as_accurate(up, dn, h, muh, src, bc)
+
+
+def _scatter_case(s_n, t_n, hp, lp, seed):
+    rng = np.random.default_rng(seed)
+    w = 2 * hp
+    up = rng.standard_normal((s_n * t_n, lp, hp)).astype(np.float32)
+    dn = rng.standard_normal((s_n * t_n, lp, hp)).astype(np.float32)
+    xd = rng.uniform(0.0, 1.0, (s_n * t_n, lp, 1)).astype(np.float32)
+    yd = (1.0 - xd).astype(np.float32)
+    mboth = rng.standard_normal((s_n, 2 * w, w)).astype(np.float32)
+    return map(jnp.asarray, (up, dn, xd, yd, mboth))
+
+
+@pytest.mark.parametrize("s_n,t_n", [(2, 8), (3, 16)])
+def test_scatter_fused_interpret_matches_matmul(s_n, t_n):
+    lp = pallas_ops._CH
+    hp = 128
+    up, dn, xd, yd, mboth = _scatter_case(s_n, t_n, hp, lp, s_n * 7 + t_n)
+    bpo = t_n // pallas_ops._IB
+    got = np.asarray(pallas_ops.scatter_fused(
+        up, dn, xd, yd, mboth, bpo, precision=lax.Precision.HIGHEST,
+        interpret=True))
+    # XLA reference: same mix + per-order matmul
+    f2 = jnp.concatenate([xd * up, xd * dn, yd * up, yd * dn], axis=-1)
+    f2 = f2.reshape(s_n, t_n * lp, 4 * hp)
+    want = jnp.matmul(f2, mboth, precision=lax.Precision.HIGHEST)
+    want = np.asarray(want.reshape(s_n * t_n, lp, 2 * hp))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="real-kernel check needs a TPU")
-def test_tpu_kernel_matches_scan():
-    h, muh, src, bc = _case(300, 12, hp=16, seed=3)
-    got = pallas_ops.sweep_flat_batched(h, muh, src, bc)
-    _assert_as_accurate(got, h, muh, src, bc)
+def test_tpu_kernels_match_scan():
+    h, muh, src, bc = _case(300, 12, hp=128, seed=3)
+    up, dn = _run_scan_kernel(h, muh, src, bc, interpret=False)
+    _assert_as_accurate(up, dn, h, muh, src, bc)
