@@ -310,7 +310,21 @@ def run_mie_sweep(mu, rn, in_, alpha_min, alpha_max, batch: int = 256,
     """Full sweep over the reference alpha grid, bucketed for static shapes.
 
     Returns a MieResult with all alphas concatenated (host arrays).
+
+    Always runs on the CPU backend with x64 enabled: the Ricatti-Bessel
+    recurrences need double precision (the reference is DOUBLE PRECISION
+    throughout, ``src/SOS_MIE.F:205``) — in a TPU f32 process the sweep
+    would silently truncate and overflow to NaN extinction sections, which
+    then poisons the whole pipeline (setup is float64 per the project
+    precision policy; only the solve drops to f32).
     """
+    cpu0 = jax.devices("cpu")[0]
+    with jax.enable_x64(True), jax.default_device(cpu0):
+        return _run_mie_sweep_f64(mu, rn, in_, alpha_min, alpha_max,
+                                  batch, dtype)
+
+
+def _run_mie_sweep_f64(mu, rn, in_, alpha_min, alpha_max, batch, dtype):
     alphas = alpha_sweep(alpha_min, alpha_max)
     # bucket boundaries chosen so n_max within a bucket is tight
     edges = [0.0, 1.0, 10.0, 30.0, 100.0, 300.0, 1000.0, 4000.0, np.inf]

@@ -145,6 +145,13 @@ def exp_profiles_batch(tr: float, hr: float, ta: float, ha: float,
         raise RuntimeError("native profil library unavailable")
     tabs_batch = np.ascontiguousarray(tabs_batch, dtype=np.float64)
     altabs = np.ascontiguousarray(altabs, dtype=np.float64)
+    if not (np.isfinite([tr, hr, ta, ha]).all()
+            and np.isfinite(tabs_batch).all() and np.isfinite(altabs).all()):
+        # a NaN total thickness reaches C++ (int)(NaN) undefined behavior
+        # in the layer counts — fail loudly at the boundary instead
+        raise ValueError(
+            f"non-finite profile inputs: tr={tr} ta={ta} "
+            f"tabs_finite={np.isfinite(tabs_batch).all()}")
     n_terms, n_abs = tabs_batch.shape
     stride = cte.OS_NT + 2
     z = np.zeros((n_terms, stride))

@@ -51,8 +51,13 @@ double disc(double dt, double ta, double ha, double tr, double hr,
       if (zmoy > altabs[0]) {
         tg = tabs[0];
       } else {
+        // bounded, unlike the reference's DO WHILE (src/SOS_PROFIL.F
+        // SOS_DISC) which reads past ALTABS when the bisection midpoint
+        // falls below the lowest table altitude (zlim can land fractionally
+        // under it); clamping extrapolates the bottom layer linearly
         int j = 1;
-        while (zmoy < altabs[j]) ++j;
+        while (j < n_abs && zmoy < altabs[j]) ++j;
+        if (j >= n_abs) j = n_abs - 1;
         const double zz =
             (zmoy - altabs[j - 1]) / (altabs[j] - altabs[j - 1]);
         tg = (1.0 - zz) * tabs[j - 1] + zz * tabs[j];

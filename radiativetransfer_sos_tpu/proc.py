@@ -341,8 +341,8 @@ from functools import partial as _partial
 
 @_partial(jax.jit, static_argnames=("opt",))
 def _solve_vmapped(inp_batch: solver.SolveInputs, opt: solver.SolveOptions):
-    """Term-batched solve in ONE flattened (term x Fourier-order) vmap —
-    a nested vmap compiles ~80x slower on TPU (see solve_fourier_batch)."""
+    """Jitted term-batched solve over the explicit (order x term) grid
+    (see solve_fourier_batch)."""
     return solver.solve_fourier_batch(inp_batch, opt)
 
 
@@ -616,13 +616,21 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
         # scene axis; the padded solves are discarded by the aggregation
         from .parallel import pad_terms
         n_solved = pad_terms(n_terms, mesh.shape["scene"])
+    elif jax.default_backend() == "tpu" and n_terms > 1:
+        # pad to the Pallas instance-block size so the fused scatter
+        # kernel's order-major blocks each map to one operator
+        # (pallas_ops.scatter_fused; solves of the duplicates are dropped
+        # below, their AIK weight never enters the aggregation)
+        from . import pallas_ops
+        n_solved = ((n_terms + pallas_ops._IB - 1)
+                    // pallas_ops._IB) * pallas_ops._IB
+    if n_solved != n_terms:
         pad = n_solved - n_terms
-        if pad:
-            hs = np.concatenate([hs, np.repeat(hs[:1], pad, axis=0)])
-            xds = np.concatenate([xds, np.repeat(xds[:1], pad, axis=0)])
-            yds = np.concatenate([yds, np.repeat(yds[:1], pad, axis=0)])
-            zprofs = np.concatenate([zprofs,
-                                     np.repeat(zprofs[:1], pad, axis=0)])
+        hs = np.concatenate([hs, np.repeat(hs[:1], pad, axis=0)])
+        xds = np.concatenate([xds, np.repeat(xds[:1], pad, axis=0)])
+        yds = np.concatenate([yds, np.repeat(yds[:1], pad, axis=0)])
+        zprofs = np.concatenate([zprofs,
+                                 np.repeat(zprofs[:1], pad, axis=0)])
 
     inp = solver.SolveInputs(
         h=jnp.asarray(hs), xdel=jnp.asarray(xds), ydel=jnp.asarray(yds),
@@ -643,12 +651,12 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
             # exit (SOS_ARRET_FOURIER) — skips orders the post-hoc mask
             # would zero anyway.  Only pays off once the (terms x orders)
             # batch is large enough to keep the chip busy per block
-            # (measured r3 on v5e, demo shape NT=600/NBMU=41/IBORM=80:
-            # blocked 75.1 vs all-orders 40.3 terms/s at 16 terms; small
-            # batches are dispatch-latency-bound and the all-orders batch
-            # wins).  The term axis is chunked at 256: measured throughput
-            # peaks there (121 terms/s vs 103 at 64) and a 512-term
-            # single dispatch exceeds HBM at compile time
+            # (measured r3 on v5e with the v2 Pallas kernels, demo shape
+            # NT=600/NBMU=41/IBORM=80: blocked 105.5 vs all-orders 90.6
+            # terms/s at 16 terms; small batches are dispatch-latency-
+            # bound and the all-orders batch wins).  The term axis is
+            # chunked at 256: 290.7 terms/s at 512 terms, while a
+            # 512-term single dispatch still exceeds HBM at compile time
             res = solver.solve_fourier_blocked_chunked(inp, opt)
         else:
             res = _solve_batch(inp, opt, n_terms)

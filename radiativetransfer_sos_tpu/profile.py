@@ -77,9 +77,14 @@ def _disc(dt, ta, ha, tr, hr, tabs, altabs, tim1, zmax_init, tg_zlim, zlim):
             if zmoy > altabs[0]:
                 tg = tabs[0]
             else:
+                # bounded, unlike the reference's DO WHILE (SOS_DISC) which
+                # reads past ALTABS when zmoy falls below the lowest table
+                # altitude; clamping extrapolates the bottom layer linearly
                 j = 1
-                while zmoy < altabs[j]:
+                while j < len(altabs) and zmoy < altabs[j]:
                     j += 1
+                if j >= len(altabs):
+                    j = len(altabs) - 1
                 zz = (zmoy - altabs[j - 1]) / (altabs[j] - altabs[j - 1])
                 tg = (1.0 - zz) * tabs[j - 1] + zz * tabs[j]
         else:

@@ -492,7 +492,8 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
 
     b_n = s_n * t_n
     h_flat = jnp.broadcast_to(h_p[None], (s_n, t_n, lp)).reshape(b_n, lp)
-    use_tpu = jax.default_backend() == "tpu" and dtype == jnp.float32
+    use_tpu = (jax.default_backend() == "tpu" and dtype == jnp.float32
+               and not _os.environ.get("RTSOS_DISABLE_PALLAS"))
 
     # The field lives as (up, dn) hemisphere halves, (S, T, LP, HP) each —
     # on TPU the Pallas kernels produce/consume the halves directly and no
@@ -829,7 +830,7 @@ def _stop_step(i4, i5, found, bnd, s0, block, n_s, seuil_sf):
 
 
 def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
-                          block: int = 16,
+                          block: int = 32,
                           seuil_sf: float = cte.PH_SEUIL_SF,
                           solve_fn=None) -> FourierResult:
     """Dispatch the Fourier orders in blocks with the sequential early exit.
@@ -856,6 +857,11 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
     Unsolved trailing orders are returned as zeros; ``emoins/eplus/tauout``
     come from the first block (they are IS = 0 quantities,
     ``src/SOS_OS.F:1447-1456``).
+
+    ``block = 32`` measured best on v5e with the v2 kernels (demo shape,
+    16 terms: 106.6 terms/s vs 89.5 at block 16 in the same run — bigger
+    blocks amortize the per-dispatch stop-test round trip now that the
+    kernels themselves are fast).
     """
     n_s = inp.k_aer.shape[0]
     t_n = inp.h.shape[0]
@@ -950,7 +956,7 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
 
 
 def solve_fourier_blocked_chunked(inp: SolveInputs, opt: SolveOptions,
-                                  block: int = 16, term_chunk: int = 256,
+                                  block: int = 32, term_chunk: int = 256,
                                   seuil_sf: float = cte.PH_SEUIL_SF,
                                   solve_fn=None) -> FourierResult:
     """Blocked Fourier dispatch with the CKD-term axis chunked.
