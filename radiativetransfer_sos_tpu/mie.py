@@ -305,23 +305,23 @@ def series_order(alpha_max: float) -> int:
     return n1
 
 
-def run_mie_sweep(mu, rn, in_, alpha_min, alpha_max, batch: int = 256,
-                  dtype=jnp.float64):
+def run_mie_sweep(mu, rn, in_, alpha_min, alpha_max, batch: int = 256):
     """Full sweep over the reference alpha grid, bucketed for static shapes.
 
     Returns a MieResult with all alphas concatenated (host arrays).
 
-    Always runs on the CPU backend with x64 enabled: the Ricatti-Bessel
-    recurrences need double precision (the reference is DOUBLE PRECISION
-    throughout, ``src/SOS_MIE.F:205``) — in a TPU f32 process the sweep
-    would silently truncate and overflow to NaN extinction sections, which
-    then poisons the whole pipeline (setup is float64 per the project
-    precision policy; only the solve drops to f32).
+    Always runs on the CPU backend with x64 enabled and float64 arrays
+    (no dtype parameter — advisor r3): the Ricatti-Bessel recurrences need
+    double precision (the reference is DOUBLE PRECISION throughout,
+    ``src/SOS_MIE.F:205``) — in a TPU f32 process the sweep would silently
+    truncate and overflow to NaN extinction sections, which then poisons
+    the whole pipeline (setup is float64 per the project precision policy;
+    only the solve drops to f32).
     """
     cpu0 = jax.devices("cpu")[0]
     with jax.enable_x64(True), jax.default_device(cpu0):
         return _run_mie_sweep_f64(mu, rn, in_, alpha_min, alpha_max,
-                                  batch, dtype)
+                                  batch, jnp.float64)
 
 
 def _run_mie_sweep_f64(mu, rn, in_, alpha_min, alpha_max, batch, dtype):
@@ -362,7 +362,7 @@ SWEEP_LOG = None
 
 
 def run_mie_sweep_cached(mu, rn, in_, alpha_min, alpha_max,
-                         batch: int = 256, dtype=jnp.float64) -> MieResult:
+                         batch: int = 256) -> MieResult:
     """``run_mie_sweep`` through the product cache (the reference's Mie-file
     memoization, ``src/SOS_AEROSOLS.F:1233-1260``); identity call when no
     cache directory is configured."""
@@ -371,7 +371,7 @@ def run_mie_sweep_cached(mu, rn, in_, alpha_min, alpha_max,
                   amin=float(alpha_min), amax=float(alpha_max))
     out = memo("mie", params,
                lambda: run_mie_sweep(mu, rn, in_, alpha_min, alpha_max,
-                                     batch, dtype)._asdict())
+                                     batch)._asdict())
     res = MieResult(**out)
     if SWEEP_LOG is not None:
         SWEEP_LOG.append(dict(rn=float(rn), in_=float(in_),

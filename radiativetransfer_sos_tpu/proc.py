@@ -616,14 +616,18 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
         # scene axis; the padded solves are discarded by the aggregation
         from .parallel import pad_terms
         n_solved = pad_terms(n_terms, mesh.shape["scene"])
-    elif jax.default_backend() == "tpu" and n_terms > 1:
+    elif jax.default_backend() == "tpu":
         # pad to the Pallas instance-block size so the fused scatter
         # kernel's order-major blocks each map to one operator
         # (pallas_ops.scatter_fused; solves of the duplicates are dropped
-        # below, their AIK weight never enters the aggregation)
+        # below, their AIK weight never enters the aggregation).  Batches
+        # below one instance block are NOT padded — the solver falls back
+        # to the batched-matmul scatter, which beats paying up to
+        # _IB/n_terms x redundant solves (advisor r3)
         from . import pallas_ops
-        n_solved = ((n_terms + pallas_ops._IB - 1)
-                    // pallas_ops._IB) * pallas_ops._IB
+        if n_terms >= pallas_ops._IB:
+            n_solved = ((n_terms + pallas_ops._IB - 1)
+                        // pallas_ops._IB) * pallas_ops._IB
     if n_solved != n_terms:
         pad = n_solved - n_terms
         hs = np.concatenate([hs, np.repeat(hs[:1], pad, axis=0)])
