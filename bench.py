@@ -1,27 +1,40 @@
 """Benchmark: full successive-orders RT solves per second at demo scale.
 
-Pipeline of one measurement round:
+Sections, each independently fenced (one failure cannot zero the record —
+the round-2/3 benches died mid-run and left no numbers at all):
 
-1. **Precision gate** — the pinned demo-shape case is solved in f32 and f64
-   on the same backend; the f32 throughput number is only reported if the
-   radiances agree within ``precision.F32_REL_TOL`` (VERDICT round-1 #1).
-2. **End-to-end throughput** — the flagship polarized solve (NBMU=40+sun,
-   NT=600 layers, IBORM=80 Fourier orders, IGMAX=30 — the shape of one CKD
-   term of ``exe/runSOS-ABS_demo.ksh`` with ``src/SOS.F:546-550`` bounds)
-   batched over CKD terms, measured two ways: all 81 orders
+1. **throughput16** — the flagship polarized solve (NBMU=40+sun, NT=600
+   layers, IBORM=80 Fourier orders, IGMAX=30 — the shape of one CKD term of
+   ``exe/runSOS-ABS_demo.ksh`` with ``src/SOS.F:546-550`` bounds) batched
+   over 16 CKD terms, measured two ways: all 81 orders
    (``solve_fourier_batch``) and the production block dispatch with the
    reference's sequential Fourier early exit (``solve_fourier_blocked``).
-3. **Per-kernel roofline** — the scattering-source matmul (MXU-bound) and
-   the Pallas layer sweep vs its associative-scan fallback (HBM-bound),
-   against the chip's peak (BASELINE.md "speed-of-light kernels").
+2. **gate** — term 0 of the f32 run vs the f64 CPU oracle; the throughput
+   numbers only count if the radiances agree within ``precision.F32_REL_TOL``.
+3. **scale512** — the production-scale CKD batch (512 terms, the realistic
+   1 cm^-1-product term count) through ``solve_fourier_blocked_chunked``
+   at the HBM-aware ``memplan.pick_dispatch`` parameters.
+4. **roofline** — the scattering-source matmul (MXU-bound) and the Pallas
+   layer sweep vs its associative-scan fallback (HBM-bound), against the
+   chip's peak (BASELINE.md "speed-of-light kernels").
+
+Every section's JSON is printed to **stderr the moment it completes**; the
+final aggregated record is the single stdout JSON line the driver parses.
+First-call compile latency is tracked per executable (``compile_s``) —
+for a framework replacing an ~85 s/term Fortran run, cold-start is part of
+the product.
 
 ``vs_baseline``: the reference publishes no timings (BASELINE.md) — the
 ratio is a **cost-model estimate**, not a measurement: ~1.7e11 FLOP/term in
 the ``SOS_FSOURCE_ORDREIG`` contraction alone at identical shapes, at an
 optimistic 2 GFLOP/s sustained single-core Fortran => ~85 s/term.
+
+Usage: ``python bench.py [--quick]`` (--quick: 16-term + gate only).
 """
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -41,6 +54,12 @@ _PEAKS = {
 }
 
 
+def _emit(section, payload):
+    """Progress record to stderr, immediately — survives any later crash."""
+    print(json.dumps({"section": section, **payload}), file=sys.stderr,
+          flush=True)
+
+
 def _timeit(fn, n_iter=3, warmup=1):
     for _ in range(warmup):
         fn()
@@ -50,14 +69,121 @@ def _timeit(fn, n_iter=3, warmup=1):
     return (time.perf_counter() - t0) / n_iter
 
 
-def kernel_roofline(prob, peak_flops, peak_bw):
+def section_throughput16(out, n_terms=16):
+    import jax
+    import jax.numpy as jnp
+
+    from radiativetransfer_sos_tpu import precision, solver
+
+    prob = precision.demo_problem(jnp.float32, n_terms=n_terms)
+
+    def run_full():
+        res = solver.solve_fourier_batch_jit(prob.inp, prob.opt)
+        # host transfer, not just block_until_ready: through the remote-TPU
+        # tunnel only an explicit device-to-host read reliably fences the
+        # computation
+        np.asarray(res.emoins)
+        return res
+
+    def run_blocked():
+        res = solver.solve_fourier_blocked(prob.inp, prob.opt)
+        np.asarray(res.emoins)
+
+    t0 = time.perf_counter()
+    res_f32 = run_full()                       # compile + first run
+    cold_full = time.perf_counter() - t0
+    dt_full = _timeit(run_full, n_iter=2, warmup=0)
+    t0 = time.perf_counter()
+    run_blocked()                              # compile + first run
+    cold_blocked = time.perf_counter() - t0
+    dt_blocked = _timeit(run_blocked, n_iter=2, warmup=0)
+
+    sec = {
+        "terms_per_s": round(n_terms / dt_blocked, 4),
+        "all_orders_terms_per_s": round(n_terms / dt_full, 4),
+        "fourier_early_exit_speedup": round(dt_full / dt_blocked, 2),
+        "compile_s": {"all_orders": round(cold_full - dt_full, 1),
+                      "blocked": round(cold_blocked - dt_blocked, 1)},
+        "n_terms": n_terms,
+    }
+    out["throughput16"] = sec
+    out["_res_f32_i3bnd"] = np.asarray(res_f32.i3bnd, dtype=np.float64)
+    _emit("throughput16", sec)
+
+
+def section_gate(out):
+    """Precision gate: term 0 of the f32 production solve vs the f64
+    CPU-backend oracle (TPU-emulated f64 is itself unreliable at this
+    workload — precision.compare_dtypes docstring); term 0 of the
+    n_terms=16 batch is exactly the n_terms=1 problem by construction."""
+    import jax
+    import jax.numpy as jnp
+
+    from radiativetransfer_sos_tpu import precision, solver
+
+    i32 = out.pop("_res_f32_i3bnd")[:1]
+    cpu0 = jax.devices("cpu")[0]
+    with jax.enable_x64(True), jax.default_device(cpu0):
+        p64 = precision.demo_problem(jnp.float64, n_terms=1)
+        i64 = np.asarray(solver.solve_fourier_batch_jit(
+            p64.inp, p64.opt).i3bnd)
+    sec = {
+        "max_rel_err_f32_vs_cpu_f64": round(precision.rel_err(i32, i64), 8),
+        "max_abs_err": round(float(np.max(np.abs(i32 - i64))), 10),
+        "rtol": precision.F32_REL_TOL,
+        "atol": precision.F32_ABS_TOL,
+        "ok": bool(np.all(np.abs(i32 - i64) <= precision.F32_ABS_TOL
+                          + precision.F32_REL_TOL * np.abs(i64))),
+    }
+    out["gate"] = sec
+    _emit("gate", sec)
+
+
+def section_scale512(out, n_big=512):
+    import jax
+    import jax.numpy as jnp
+
+    from radiativetransfer_sos_tpu import memplan, precision, solver
+
+    prob_big = precision.demo_problem(jnp.float32, n_terms=n_big)
+    block, term_chunk = memplan.pick_dispatch(
+        n_big, prob_big.inp.k_aer.shape[0], prob_big.inp.h.shape[1] - 1,
+        prob_big.inp.mu_pos.shape[0], use_zout=prob_big.opt.use_zout,
+        imat_surf=prob_big.opt.imat_surf)
+
+    def run_big():
+        res = solver.solve_fourier_blocked_chunked(prob_big.inp,
+                                                   prob_big.opt)
+        np.asarray(res.emoins)
+
+    t0 = time.perf_counter()
+    run_big()
+    cold = time.perf_counter() - t0
+    dt_big = _timeit(run_big, n_iter=1, warmup=0)
+    sec = {
+        "terms_per_s": round(n_big / dt_big, 1),
+        "n_terms": n_big,
+        "block": block, "term_chunk": term_chunk,
+        "est_hbm_gb": round(memplan.estimate_bytes(
+            block, term_chunk, prob_big.inp.h.shape[1] - 1,
+            prob_big.inp.mu_pos.shape[0]) / 1e9, 2),
+        "compile_s": round(cold - dt_big, 1),
+    }
+    out["scale512"] = sec
+    _emit("scale512", sec)
+
+
+def section_roofline(out):
     """Isolated hot-kernel measurements (SURVEY.md §3.2 ranking)."""
     import jax
     import jax.numpy as jnp
 
-    from radiativetransfer_sos_tpu import pallas_ops, solver
+    from radiativetransfer_sos_tpu import pallas_ops, precision, solver
 
-    inp, opt = prob.inp, prob.opt
+    dev = jax.devices()[0]
+    peak_flops, peak_bw = _PEAKS.get(dev.device_kind, (None, None))
+    prob = precision.demo_problem(jnp.float32, n_terms=16)
+    inp = prob.inp
     dtype = inp.h.dtype
     n = inp.mu_pos.shape[0]
     hp = solver._half_pad(n)
@@ -85,7 +211,7 @@ def kernel_roofline(prob, peak_flops, peak_bw):
 
     def force(x):
         # device-to-host read of one element: the only reliable fence
-        # through the remote-TPU tunnel (see run_full in main)
+        # through the remote-TPU tunnel
         return np.asarray(jax.device_get(x.ravel()[:8]))
 
     # --- scattering-source contraction (SOS_FSOURCE_ORDREIG): the fused
@@ -156,14 +282,19 @@ def kernel_roofline(prob, peak_flops, peak_bw):
     dt_s = _timeit(lambda: force(sweep_scan_k(src_b, h_b, bc))) / k_chain
     res["sweep_scan"] = {"time_us": round(dt_s * 1e6, 1),
                          "gbps": round(bytes_min / dt_s / 1e9, 1)}
-    return res
+    out["roofline"] = res
+    _emit("roofline", res)
 
 
 def main():
     import os
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="16-term throughput + precision gate only")
+    args = ap.parse_args()
+
     import jax
-    import jax.numpy as jnp
 
     # persistent compile cache: ~7 distinct executables per cold run
     os.makedirs("/root/.cache/jax_cc", exist_ok=True)
@@ -171,93 +302,49 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from radiativetransfer_sos_tpu import precision, solver
-
     dev = jax.devices()[0]
-    peak_flops, peak_bw = _PEAKS.get(dev.device_kind, (None, None))
+    _emit("start", {"device": dev.device_kind,
+                    "quick": bool(args.quick)})
 
-    n_terms = 16     # realistic CKD batch (NEXP products run 5..3000 terms)
+    out = {}
+    sections = [("throughput16", section_throughput16), ("gate", section_gate)]
+    if not args.quick:
+        sections += [("scale512", section_scale512),
+                     ("roofline", section_roofline)]
+    for name, fn in sections:
+        try:
+            t0 = time.perf_counter()
+            fn(out)
+            _emit(name + ".done", {"s": round(time.perf_counter() - t0, 1)})
+        except Exception as e:
+            err = f"{type(e).__name__}: {str(e)[:300]}"
+            out[name] = {"error": err}
+            _emit(name + ".FAILED", {"error": err})
 
-    # --- end-to-end throughput, f32
-    prob = precision.demo_problem(jnp.float32, n_terms=n_terms)
-
-    def run_full():
-        res = solver.solve_fourier_batch_jit(prob.inp, prob.opt)
-        # host transfer, not just block_until_ready: through the remote-TPU
-        # tunnel only an explicit device-to-host read reliably fences the
-        # computation (block_until_ready returned in ~100 us here)
-        np.asarray(res.emoins)
-        return res
-
-    def run_blocked():
-        res = solver.solve_fourier_blocked(prob.inp, prob.opt)
-        np.asarray(res.emoins)
-
-    res_f32 = run_full()                       # compile + warmup
-    dt_full = _timeit(run_full, n_iter=2, warmup=0)
-    dt_blocked = _timeit(run_blocked, n_iter=2)
-    terms_per_s = n_terms / dt_blocked
-    terms_per_s_full = n_terms / dt_full
-
-    # production-scale CKD batch (VERDICT r3 #4): term-chunked blocked
-    # dispatch at a realistic 1 cm^-1-product term count
-    n_big = 512
-    prob_big = precision.demo_problem(jnp.float32, n_terms=n_big)
-
-    def run_big():
-        res = solver.solve_fourier_blocked_chunked(prob_big.inp,
-                                                   prob_big.opt)
-        np.asarray(res.emoins)
-
-    dt_big = _timeit(run_big, n_iter=1, warmup=1)
-    terms_per_s_big = n_big / dt_big
-
-    # --- precision gate: term 0 of the f32 production solve vs the f64
-    # CPU-backend oracle (TPU-emulated f64 is itself unreliable at this
-    # workload — precision.compare_dtypes docstring); term 0 of the
-    # n_terms=16 batch is exactly the n_terms=1 problem by construction
-    i32 = np.asarray(res_f32.i3bnd, dtype=np.float64)[:1]
-    cpu0 = jax.devices("cpu")[0]
-    with jax.enable_x64(True), jax.default_device(cpu0):
-        p64 = precision.demo_problem(jnp.float64, n_terms=1)
-        i64 = np.asarray(solver.solve_fourier_batch_jit(
-            p64.inp, p64.opt).i3bnd)
-    gate = {
-        "max_rel_err": precision.rel_err(i32, i64),
-        "max_abs_err": float(np.max(np.abs(i32 - i64))),
-        "ok": bool(np.all(np.abs(i32 - i64) <= precision.F32_ABS_TOL
-                          + precision.F32_REL_TOL * np.abs(i64))),
-    }
-
-    roofline = kernel_roofline(prob, peak_flops, peak_bw)
-
-    vs_baseline = terms_per_s * FORTRAN_EST_SECONDS_PER_TERM
+    t16 = out.get("throughput16", {})
+    gate = out.get("gate", {})
+    terms_per_s = t16.get("terms_per_s", 0.0)
     print(json.dumps({
         "metric": "ckd_terms_per_s_demo_shape",
-        "value": round(terms_per_s, 4),
+        "value": terms_per_s,
         "unit": "full SOS solves/s (NT=600, IBORM=80 w/ Fourier early exit,"
                 " 30 scat, NBMU=41, f32 validated vs f64)",
-        "vs_baseline": round(vs_baseline, 1),
+        "vs_baseline": round(terms_per_s * FORTRAN_EST_SECONDS_PER_TERM, 1),
         "vs_baseline_kind": "cost-model estimate only — the reference "
                             "publishes no timings (BASELINE.md); 85 s/term "
                             "at 2 GFLOP/s sustained Fortran",
-        "all_orders_terms_per_s": round(terms_per_s_full, 4),
-        "fourier_early_exit_speedup": round(dt_full / dt_blocked, 2),
-        "terms_per_s_at_512": round(terms_per_s_big, 1),
-        "precision_gate": {
-            "max_rel_err_f32_vs_cpu_f64": round(gate["max_rel_err"], 8),
-            "max_abs_err": round(gate["max_abs_err"], 10),
-            "rtol": precision.F32_REL_TOL,
-            "atol": precision.F32_ABS_TOL,
-            "ok": gate["ok"],
-        },
+        "all_orders_terms_per_s": t16.get("all_orders_terms_per_s"),
+        "fourier_early_exit_speedup": t16.get("fourier_early_exit_speedup"),
+        "terms_per_s_at_512": out.get("scale512", {}).get("terms_per_s"),
+        "scale512": out.get("scale512"),
+        "precision_gate": gate,
+        "compile_s": t16.get("compile_s"),
         "device": dev.device_kind,
-        "roofline": roofline,
-    }))
-    if not gate["ok"]:
-        raise SystemExit(
-            f"precision gate FAILED: f32 drift {gate['max_rel_err']:.3e} "
-            f"> {precision.F32_REL_TOL:.0e}")
+        "roofline": out.get("roofline"),
+    }), flush=True)
+    if gate and not gate.get("ok", False):
+        raise SystemExit("precision gate FAILED: "
+                         f"{gate.get('max_rel_err_f32_vs_cpu_f64')}")
 
 
 if __name__ == "__main__":

@@ -616,7 +616,7 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
         # scene axis; the padded solves are discarded by the aggregation
         from .parallel import pad_terms
         n_solved = pad_terms(n_terms, mesh.shape["scene"])
-    elif jax.default_backend() == "tpu":
+    elif solver.on_tpu():
         # pad to the Pallas instance-block size so the fused scatter
         # kernel's order-major blocks each map to one operator
         # (pallas_ops.scatter_fused; solves of the duplicates are dropped
