@@ -21,29 +21,50 @@ from typing import Optional, Tuple
 #: preferred source but returns None through remote-TPU tunnels; this table
 #: is the fallback, and 16 GB (the smallest current chip) the default.
 HBM_BYTES = {
-    "TPU v4": 32e9,
-    "TPU v5 lite": 16e9,
-    "TPU v5e": 16e9,
-    "TPU v5": 95e9,
-    "TPU v5p": 95e9,
-    "TPU v6 lite": 32e9,
-    "TPU v6e": 32e9,
+    "TPU v4": 32 * 2 ** 30,
+    "TPU v5 lite": 16 * 2 ** 30,
+    "TPU v5e": 16 * 2 ** 30,
+    "TPU v5": 95 * 2 ** 30,
+    "TPU v5p": 95 * 2 ** 30,
+    "TPU v6 lite": 32 * 2 ** 30,
+    "TPU v6e": 32 * 2 ** 30,
 }
-DEFAULT_HBM = 16e9
+DEFAULT_HBM = 16 * 2 ** 30
 
-#: fraction of HBM the solve may plan to; the rest covers XLA's reserved
-#: arena, fusion temporaries and the host-transfer staging buffers
-BUDGET_FRACTION = 0.70
+#: headroom kept free of the plan: XLA's reserved arena, host-transfer
+#: staging buffers and allocator slack (the estimate itself tracks the
+#: compiled executable's reported temp size to ~2%)
+RESERVE_FRACTION = 0.05
+RESERVE_BYTES = 0.3e9
 
-#: (block, term_chunk) candidates in measured-throughput order on v5e
-#: (512-term demo-shape sweep, .scratch/sweep_chunk.py, this round; the
-#: first entry that fits the byte budget wins).  Larger chunks amortize
-#: the per-block stop-test round trip; block 16 beat 32 once the chunk is
-#: large because the Fourier early exit wastes less speculated work.
-PREFERENCE: Tuple[Tuple[int, int], ...] = (
-    (16, 256), (16, 128), (8, 256), (32, 128), (8, 512), (32, 64),
-    (16, 64), (8, 128), (8, 64), (16, 32), (8, 32),
-)
+
+def budget_bytes(hbm: float) -> float:
+    return hbm * (1.0 - RESERVE_FRACTION) - RESERVE_BYTES
+
+#: Fourier block size by dispatch term count, measured on v5e (512/128/64/
+#: 16-term demo-shape sweeps, round 4).  Small blocks waste fewer orders
+#: past the SOS_ARRET_FOURIER stop but cost one stop-test round trip per
+#: block; the trade flips with the term batch that amortizes each
+#: dispatch.  Measured terms/s at the demo shape:
+#:
+#:   terms  block=4  block=8  block=16  block=32
+#:    512     434      388       285(c256)  175(c128)
+#:    128     241      254       248         -
+#:     64     154      194       183         -
+#:     16      48       73       112        106
+BLOCK_BY_TERMS: Tuple[Tuple[int, int], ...] = ((256, 4), (64, 8), (0, 16))
+
+#: term-chunk candidates, largest first — bigger chunks amortize the
+#: per-block dispatch overhead and won every memory-feasible comparison
+CHUNK_CANDIDATES: Tuple[int, ...] = (1024, 512, 256, 128, 64, 32)
+
+
+def block_for_terms(n_terms: int) -> int:
+    """Measured-best Fourier block for a dispatch of ``n_terms`` terms."""
+    for min_t, block in BLOCK_BY_TERMS:
+        if n_terms >= min_t:
+            return block
+    return BLOCK_BY_TERMS[-1][1]
 
 
 def _half_pad(n: int) -> int:
@@ -57,35 +78,45 @@ def _pad_levels(nt: int) -> int:
     return pallas_ops.pad_levels(nt)
 
 
+#: measured XLA temp size per field-sized (S, T, LP, HP) buffer unit —
+#: calibrated against ``compiled.memory_analysis()`` on the real v5e this
+#: round across six (S, T) shapes (ratio 12.03 +- 0.01 for the base
+#: config: the while-loop (up, dn) carry, the scatter source halves and
+#: their double buffers).  ``use_zout`` adds the level-resolved
+#: accumulator + order-1 copy (measured 18.05); zout + surface matrices
+#: add the direct-reflection field (measured 19.04).  A ~2% margin is
+#: kept on each.
+FIELD_MULT_BASE = 12.25
+FIELD_MULT_ZOUT = 6.2
+FIELD_MULT_ZOUT_IMAT = 1.1
+
+
 def estimate_bytes(block: int, term_chunk: int, nt: int, n_mu: int,
                    use_zout: bool = False, imat_surf: bool = False,
                    itemsize: int = 4) -> int:
     """Estimate of the peak live set of one blocked-chunked solve dispatch.
 
-    The dominant buffers are the field-sized (S, T, LP, HP) tensors that
-    XLA must keep live across the scattering ``while_loop``
-    (``solver._solve_st``): the (up, dn) field carry, the scatter source
-    halves, and — calibrated on the v5e buffer-assignment dump from round
-    3 — about two more field-sized temporaries of XLA double-buffering
-    slack.  ``use_zout`` adds the level-resolved accumulator and its
-    order-1 copy (two (up, dn) pairs); ``imat_surf`` + ``use_zout`` adds
-    the direct-reflection field.  On top: the per-order phase operators
-    k_aer/k_mol ((S, 3, 3, W, W) each) and their flattened matmul form.
+    The dominant buffers are the field-sized (S, T, LP, HP) tensors XLA
+    keeps live across the scattering ``while_loop`` (``solver._solve_st``)
+    plus their pipelining copies; the multiplier is measured, not derived
+    (:data:`FIELD_MULT_BASE`).  On top: the per-order phase operators
+    k_aer/k_mol and their flattened matmul form.
 
-    Calibration points (v5e 16 GB, demo shape NT=600 -> LP=640, NBMU=41 ->
-    HP=128): 32x256 -> ~16.1 GB estimated, fails at compile (observed r3);
-    16x256 -> ~8.2 GB, runs; 16x128 -> ~4.2 GB, runs.
+    Validated against the compiled executable's reported footprint in
+    ``tests/test_tpu_production.py`` (estimate must stay an upper bound).
+    Known r3 failure point: 32x256 at the demo shape -> 33 GB estimated,
+    v5e has 17.2; the shipped default crashed at buffer assignment.
     """
     lp = _pad_levels(nt)
     hp = _half_pad(n_mu)
     w = 2 * hp
     field = block * term_chunk * lp * hp * itemsize
-    n_field = 6 + (4 if use_zout else 0) \
-        + (1 if (imat_surf and use_zout) else 0)
+    mult = FIELD_MULT_BASE + (FIELD_MULT_ZOUT if use_zout else 0.0) \
+        + (FIELD_MULT_ZOUT_IMAT if (imat_surf and use_zout) else 0.0)
     d = 2 * n_mu + 1
     operators = 2 * block * 9 * d * d * itemsize     # k_aer + k_mol
     operators += block * (2 * w) * w * itemsize      # flattened mboth
-    return n_field * field + operators
+    return int(mult * field) + operators
 
 
 def device_hbm(device=None) -> float:
@@ -111,19 +142,24 @@ def pick_dispatch(n_terms: int, n_orders: int, nt: int, n_mu: int,
                   device=None) -> Tuple[int, int]:
     """Fastest (block, term_chunk) that fits the device memory budget.
 
-    Walks :data:`PREFERENCE` (measured order) over candidates no larger
-    than the problem itself and returns the first whose
-    :func:`estimate_bytes` fits ``BUDGET_FRACTION`` of the device HBM.
-    Always returns something: the final fallback (8, 32) is ~100 MB at the
-    demo shape and fits every supported chip.
+    Walks :data:`CHUNK_CANDIDATES` largest-first (bigger chunks measured
+    faster whenever they fit), pairs each with the measured-best block for
+    that dispatch size (:func:`block_for_terms`), and returns the first
+    combination whose :func:`estimate_bytes` fits :func:`budget_bytes` of
+    the device HBM.  Always returns something: the final fallback
+    (16, 32) is ~800 MB at the demo shape and fits every supported chip.
     """
     if hbm is None:
         hbm = device_hbm(device)
-    budget = hbm * BUDGET_FRACTION
+    budget = budget_bytes(hbm)
     best = None
-    for block, chunk in PREFERENCE:
-        b = min(block, n_orders)
+    seen = set()
+    for chunk in CHUNK_CANDIDATES:
         c = min(chunk, n_terms)
+        if c in seen:
+            continue
+        seen.add(c)
+        b = min(block_for_terms(c), n_orders)
         est = estimate_bytes(b, c, nt, n_mu, use_zout, imat_surf)
         if est <= budget:
             return b, c

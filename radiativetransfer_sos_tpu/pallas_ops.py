@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -54,6 +55,14 @@ def pad_levels(nt: int) -> int:
 # ---------------------------------------------------------------------------
 # Fused scatter: mix + per-order operator matmul (SOS_FSOURCE_ORDREIG)
 # ---------------------------------------------------------------------------
+
+
+def _i0():
+    """Index-map zero as i32: under jax_enable_x64 a literal 0 in a block
+    index map traces as i64 and Mosaic rejects the kernel (``func.return``
+    legalization); program ids are i32, so constants must match.  A numpy
+    scalar (not ``jnp``) so evaluating the map allocates nothing."""
+    return np.int32(0)
 
 def _scatter_kernel(up_ref, dn_ref, xd_ref, yd_ref, mb_ref, out_ref,
                     precision):
@@ -83,14 +92,19 @@ def scatter_fused(up_h, dn_h, xdel_b, ydel_b, mboth, blocks_per_order,
     nb, nc = b_n // _IB, lp // _CH
     dtype = up_h.dtype
 
-    half_blk = pl.BlockSpec((_IB, _CH, hp), lambda b, c: (b, c, 0),
+    half_blk = pl.BlockSpec((_IB, _CH, hp), lambda b, c: (b, c, _i0()),
                             memory_space=pltpu.VMEM)
-    col_blk = pl.BlockSpec((_IB, _CH, 1), lambda b, c: (b, c, 0),
+    col_blk = pl.BlockSpec((_IB, _CH, 1), lambda b, c: (b, c, _i0()),
                            memory_space=pltpu.VMEM)
+    # NB: the divisor must stay i32 — under jax_enable_x64 a Python-int
+    # divisor weakly promotes the i32 program id to i64 and Mosaic's
+    # convert-element-type lowering recurses forever on the i32->i64 cast
     mb_blk = pl.BlockSpec(
-        (1, 2 * w, w), lambda b, c, _bpo=blocks_per_order: (b // _bpo, 0, 0),
+        (1, 2 * w, w),
+        lambda b, c, _bpo=np.int32(blocks_per_order):
+        (b // _bpo, _i0(), _i0()),
         memory_space=pltpu.VMEM)
-    out_blk = pl.BlockSpec((_IB, _CH, w), lambda b, c: (b, c, 0),
+    out_blk = pl.BlockSpec((_IB, _CH, w), lambda b, c: (b, c, _i0()),
                            memory_space=pltpu.VMEM)
     kern = functools.partial(_scatter_kernel, precision=precision)
     return pl.pallas_call(
@@ -112,8 +126,8 @@ def _scan_fwd(a, b, iota):
     ch = a.shape[1]
     d = 1
     while d < ch:
-        a_sh = pltpu.roll(a, d, 1)
-        b_sh = pltpu.roll(b, d, 1)
+        a_sh = pltpu.roll(a, jnp.int32(d), 1)
+        b_sh = pltpu.roll(b, jnp.int32(d), 1)
         keep = iota >= d
         b = jnp.where(keep, a * b_sh + b, b)
         a = jnp.where(keep, a * a_sh, a)
@@ -129,8 +143,8 @@ def _scan_rev(a, b, iota):
     ch = a.shape[1]
     d = 1
     while d < ch:
-        a_sh = pltpu.roll(a, ch - d, 1)
-        b_sh = pltpu.roll(b, ch - d, 1)
+        a_sh = pltpu.roll(a, jnp.int32(ch - d), 1)
+        b_sh = pltpu.roll(b, jnp.int32(ch - d), 1)
         keep = iota < ch - d
         b = jnp.where(keep, a * b_sh + b, b)
         a = jnp.where(keep, a * a_sh, a)
@@ -170,7 +184,7 @@ def _sweep_kernel(src_dn_ref, src_up_ref, dtd_ref, rtd_ref, dtu_ref,
 
     # ---- down sweep, chunk index c (forward) ----
     hi = src_dn_ref[:]                                   # sd[l] rows
-    lo = pltpu.roll(hi, 1, 1)                            # sd[l-1]
+    lo = pltpu.roll(hi, jnp.int32(1), 1)                            # sd[l-1]
     lo = jnp.where(iota == 0, lo_dn[:][:, None, :], lo)
     dt, rd = dtd_ref[:], rtd_ref[:]
     a = jnp.exp(-dt * rmu)
@@ -186,7 +200,7 @@ def _sweep_kernel(src_dn_ref, src_up_ref, dtd_ref, rtd_ref, dtu_ref,
     nc = pl.num_programs(1)
     glob = (nc - 1 - pl.program_id(1)) * ch + iota       # global level
     lo = src_up_ref[:]                                   # su[l] rows
-    hi = pltpu.roll(lo, ch - 1, 1)                       # su[l+1]
+    hi = pltpu.roll(lo, jnp.int32(ch - 1), 1)                       # su[l+1]
     hi = jnp.where(iota == ch - 1, hi_up[:][:, None, :], hi)
     dt, rd = dtu_ref[:], rtu_ref[:]
     a = jnp.exp(-dt * rmu)
@@ -220,20 +234,23 @@ def sweep_scan_batched(src, dtau_dn, rdtau_dn, dtau_up, rdtau_up,
     dtype = src.dtype
 
     up_blk = pl.BlockSpec((_IB, _CH, hp), lambda b, c, _nc=nc:
-                          (b, _nc - 1 - c, 0), memory_space=pltpu.VMEM)
-    dn_blk = pl.BlockSpec((_IB, _CH, hp), lambda b, c: (b, c, 1),
+                          (b, _nc - 1 - c, _i0()),
                           memory_space=pltpu.VMEM)
-    col_fwd = pl.BlockSpec((_IB, _CH, 1), lambda b, c: (b, c, 0),
+    dn_blk = pl.BlockSpec((_IB, _CH, hp), lambda b, c: (b, c, _i0() + 1),
+                          memory_space=pltpu.VMEM)
+    col_fwd = pl.BlockSpec((_IB, _CH, 1), lambda b, c: (b, c, _i0()),
                            memory_space=pltpu.VMEM)
     col_rev = pl.BlockSpec((_IB, _CH, 1), lambda b, c, _nc=nc:
-                           (b, _nc - 1 - c, 0), memory_space=pltpu.VMEM)
-    mu_blk = pl.BlockSpec((1, hp), lambda b, c: (0, 0),
+                           (b, _nc - 1 - c, _i0()),
+                           memory_space=pltpu.VMEM)
+    mu_blk = pl.BlockSpec((1, hp), lambda b, c: (_i0(), _i0()),
                           memory_space=pltpu.VMEM)
-    bc_blk = pl.BlockSpec((_IB, hp), lambda b, c: (b, 0),
+    bc_blk = pl.BlockSpec((_IB, hp), lambda b, c: (b, _i0()),
                           memory_space=pltpu.VMEM)
     out_up = pl.BlockSpec((_IB, _CH, hp), lambda b, c, _nc=nc:
-                          (b, _nc - 1 - c, 0), memory_space=pltpu.VMEM)
-    out_dn = pl.BlockSpec((_IB, _CH, hp), lambda b, c: (b, c, 0),
+                          (b, _nc - 1 - c, _i0()),
+                          memory_space=pltpu.VMEM)
+    out_dn = pl.BlockSpec((_IB, _CH, hp), lambda b, c: (b, c, _i0()),
                           memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((_IB, hp), dtype) for _ in range(4)]
     kern = functools.partial(_sweep_kernel, nt=nt)

@@ -52,10 +52,19 @@ def init_distributed() -> bool:
     """
     import os
 
-    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
-            or os.environ.get("COORDINATOR_ADDRESS")):
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if not addr:
         return False
-    jax.distributed.initialize()
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        # explicit manual-cluster layout (e.g. the 2-process CPU smoke
+        # test, tests/test_distributed.py); without these JAX falls back
+        # to its cluster auto-detection (Slurm / GKE / TPU metadata)
+        kwargs = dict(coordinator_address=addr,
+                      num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                      process_id=int(os.environ["JAX_PROCESS_ID"]))
+    jax.distributed.initialize(**kwargs)
     return True
 
 

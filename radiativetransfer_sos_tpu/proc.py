@@ -654,13 +654,12 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
             # block dispatch with the reference's sequential Fourier early
             # exit (SOS_ARRET_FOURIER) — skips orders the post-hoc mask
             # would zero anyway.  Only pays off once the (terms x orders)
-            # batch is large enough to keep the chip busy per block
-            # (measured r3 on v5e with the v2 Pallas kernels, demo shape
-            # NT=600/NBMU=41/IBORM=80: blocked 105.5 vs all-orders 90.6
-            # terms/s at 16 terms; small batches are dispatch-latency-
-            # bound and the all-orders batch wins).  The term axis is
-            # chunked at 256: 290.7 terms/s at 512 terms, while a
-            # 512-term single dispatch still exceeds HBM at compile time
+            # batch is large enough to keep the chip busy per block;
+            # small batches are dispatch-latency-bound and the all-orders
+            # batch wins.  (block, term_chunk) come from the HBM-aware
+            # planner (memplan.pick_dispatch) so no term count can route
+            # into a shape that fails to compile; measured numbers live
+            # in memplan.BLOCK_BY_TERMS and BENCH output, not here
             res = solver.solve_fourier_blocked_chunked(inp, opt)
         else:
             res = _solve_batch(inp, opt, n_terms)

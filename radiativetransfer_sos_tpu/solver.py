@@ -870,7 +870,7 @@ def _stop_step(i4, i4c, i5, i5c, found, bnd, s0, block, n_s, seuil_sf):
 
 
 def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
-                          block: int = 32,
+                          block: Optional[int] = None,
                           seuil_sf: float = cte.PH_SEUIL_SF,
                           solve_fn=None) -> FourierResult:
     """Dispatch the Fourier orders in blocks with the sequential early exit.
@@ -898,13 +898,17 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
     come from the first block (they are IS = 0 quantities,
     ``src/SOS_OS.F:1447-1456``).
 
-    ``block = 32`` measured best on v5e with the v2 kernels (demo shape,
-    16 terms: 106.6 terms/s vs 89.5 at block 16 in the same run — bigger
-    blocks amortize the per-dispatch stop-test round trip now that the
-    kernels themselves are fast).
+    ``block`` defaults to the measured-best size for the term batch
+    (``memplan.block_for_terms``: 4 at >= 256 terms, 8 at >= 64, 16 below
+    — round-4 v5e sweep, table in ``memplan.py``).  Small blocks waste
+    fewer speculated orders past the stop; large term batches amortize
+    the extra per-block round trips.
     """
     n_s = inp.k_aer.shape[0]
     t_n = inp.h.shape[0]
+    if block is None:
+        from . import memplan
+        block = min(memplan.block_for_terms(t_n), n_s)
     n = inp.mu_pos.shape[0]
     d = 2 * n + 1
     n_pad = ((n_s + block - 1) // block) * block
@@ -1002,21 +1006,37 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
 
 
 def solve_fourier_blocked_chunked(inp: SolveInputs, opt: SolveOptions,
-                                  block: int = 32, term_chunk: int = 256,
+                                  block: Optional[int] = None,
+                                  term_chunk: Optional[int] = None,
                                   seuil_sf: float = cte.PH_SEUIL_SF,
                                   solve_fn=None) -> FourierResult:
     """Blocked Fourier dispatch with the CKD-term axis chunked.
 
     At production CKD term counts (hundreds-thousands, ``inc/SOS.h:278-292``)
-    a single (terms x block-orders) dispatch exceeds HBM — measured r3 on
-    v5e: 512 terms x 16 orders at demo shape fails to compile, while 256
-    terms runs at peak throughput (121 terms/s vs 103 at 64 terms).  Terms
-    are split into equal chunks of <= ``term_chunk`` (one compiled
-    executable serves all chunks) and each chunk early-exits its Fourier
-    loop independently — finer-grained than the all-terms stop, identical
-    results after :func:`fourier_stop_mask`.
+    a single (terms x block-orders) dispatch exceeds HBM.  Terms are split
+    into equal chunks of <= ``term_chunk`` (one compiled executable serves
+    all chunks) and each chunk early-exits its Fourier loop independently
+    — finer-grained than the all-terms stop, identical results after
+    :func:`fourier_stop_mask`.
+
+    ``(block, term_chunk)`` default to ``memplan.pick_dispatch``: the
+    measured-fastest combination whose estimated live set fits the
+    device's HBM budget (the round-3 committed defaults of 32 x 256
+    exceeded v5e memory at compile time at 512 terms; the picker cannot
+    return a non-compiling shape and is validated against the compiled
+    executable's reported footprint in
+    ``tests/test_tpu_production.py``).  Measured r4 on v5e, 512 terms at
+    the demo shape: picker choice (4, 512) -> 434 terms/s.
     """
     t_n = inp.h.shape[0]
+    if block is None or term_chunk is None:
+        from . import memplan
+        b_pick, c_pick = memplan.pick_dispatch(
+            t_n, inp.k_aer.shape[0], inp.h.shape[1] - 1,
+            inp.mu_pos.shape[0], use_zout=opt.use_zout,
+            imat_surf=opt.imat_surf)
+        block = b_pick if block is None else block
+        term_chunk = c_pick if term_chunk is None else term_chunk
     if t_n <= term_chunk:
         return solve_fourier_blocked(inp, opt, block, seuil_sf, solve_fn)
     n_chunks = -(-t_n // term_chunk)
