@@ -215,7 +215,7 @@ def solve_terms_sharded(mesh: Mesh, inp: solver.SolveInputs,
 
 
 def solve_terms_sharded_blocked(mesh: Mesh, inp: solver.SolveInputs,
-                                opt: solver.SolveOptions, block: int = 32):
+                                opt: solver.SolveOptions, block=None):
     """Blocked Fourier dispatch composed with the scene-sharded term solve.
 
     When the mesh has no fourier axis (or size 1), the sequential Fourier
