@@ -217,7 +217,7 @@ def _sweep_kernel(src_dn_ref, src_up_ref, dtd_ref, rtd_ref, dtu_ref,
 
 
 def sweep_scan_batched(src, dtau_dn, rdtau_dn, dtau_up, rdtau_up,
-                       muh, bc, nt, interpret=False):
+                       muh, bc, nt, interpret=False, dimsem=False):
     """Integrate both hemispheres of the flat field batch in one kernel.
 
     ``src``: (B, LP, W) flat sources (up lanes [0, HP), down [HP, 2HP));
@@ -256,6 +256,12 @@ def sweep_scan_batched(src, dtau_dn, rdtau_dn, dtau_up, rdtau_up,
     kern = functools.partial(_sweep_kernel, nt=nt)
     mu2 = muh.astype(dtype)[None]
     rmu2 = (1.0 / muh.astype(dtype))[None]
+    kw = {}
+    if dimsem:
+        # instance blocks are independent (the VMEM scratch carries only
+        # along the chunk axis and is re-seeded at chunk 0 of each block)
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
     return pl.pallas_call(
         kern, grid=(nb, nc),
         in_specs=[dn_blk, up_blk, col_fwd, col_fwd, col_rev, col_rev,
@@ -263,8 +269,162 @@ def sweep_scan_batched(src, dtau_dn, rdtau_dn, dtau_up, rdtau_up,
         out_specs=(out_up, out_dn),
         out_shape=(jax.ShapeDtypeStruct((b_n, lp, hp), dtype),
                    jax.ShapeDtypeStruct((b_n, lp, hp), dtype)),
-        scratch_shapes=scratch, interpret=interpret,
+        scratch_shapes=scratch, interpret=interpret, **kw,
     )(src, src, dtau_dn, rdtau_dn, dtau_up, rdtau_up, mu2, rmu2, bc)
+
+
+# ---------------------------------------------------------------------------
+# Fused scatter + sweep: one kernel per scattering order (the hot pair)
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(up_c_ref, dn_c_ref, up_r_ref, dn_r_ref, xd_c_ref,
+                  yd_c_ref, xd_r_ref, yd_r_ref, mb_ref, dtd_ref, rtd_ref,
+                  dtu_ref, rtu_ref, mu_ref, rmu_ref, bc_ref,
+                  up_out_ref, dn_out_ref, c_dn, lo_dn, c_up, hi_up,
+                  nt, precision):
+    """Order-IG source *and* both hemisphere integrations in one pass.
+
+    Motivation: the separate kernels round-trip the (B, LP, W) source
+    through HBM (~40% of the pair's traffic).  Total matmul FLOPs are
+    unchanged: the down sweep consumes only the downward source lanes of
+    chunk ``c`` and the up sweep only the upward lanes of chunk
+    ``nc-1-c``, so each half of the operator is applied exactly once per
+    chunk across the whole grid.  Results are bitwise identical to
+    scatter_fused -> sweep_scan_batched (verified on the v5e).
+
+    **Measured outcome (r4, v5e, demo shape): the fusion LOSES** —
+    12.6 ms vs 10.2 ms per chained pair, stable across chunk sizes 32/64/
+    128.  Interpretation: the pair is not HBM-bound; inside one fused
+    grid step the MXU matmul feeds the VPU scan directly, serializing the
+    two units, while the two-kernel pipeline keeps each kernel's only
+    unit saturated.  Production therefore stays on the two-kernel path;
+    this kernel is kept as the measured negative result (bench.py
+    roofline breakdown) and exercised in interpret mode by the suite.
+
+    Sweep semantics are identical to :func:`_sweep_kernel` (reference
+    ``SOS_INTEGR_EPOPT``, ``src/SOS_OS.F:2222-2354``); the in-VMEM source
+    rows replace the HBM loads.  ``mb`` columns [0, HP) produce the
+    upward-source lanes, [HP, 2HP) the downward ones
+    (``solver._flat_operator`` layout).
+    """
+    ib, ch, hp = up_c_ref.shape
+    mu, rmu = mu_ref[:], rmu_ref[:]
+    iota = lax.broadcasted_iota(jnp.int32, (1, ch, 1), 1)
+    mb = mb_ref[0]
+
+    def mix_src(u_ref, d_ref, x_ref, y_ref, cols):
+        u, d = u_ref[:], d_ref[:]
+        x, y = x_ref[:], y_ref[:]
+        f2 = jnp.concatenate([x * u, x * d, y * u, y * d], axis=-1)
+        s = jnp.dot(f2.reshape(ib * ch, 4 * hp), cols,
+                    preferred_element_type=f2.dtype, precision=precision)
+        return s.reshape(ib, ch, hp)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        c_dn[:] = jnp.zeros_like(c_dn)
+        lo_dn[:] = jnp.zeros_like(lo_dn)
+        c_up[:] = jnp.zeros_like(c_up)
+        hi_up[:] = jnp.zeros_like(hi_up)
+
+    # ---- down sweep, chunk index c (forward) ----
+    hi = mix_src(up_c_ref, dn_c_ref, xd_c_ref, yd_c_ref, mb[:, hp:])
+    lo = pltpu.roll(hi, jnp.int32(1), 1)                 # sd[l-1]
+    lo = jnp.where(iota == 0, lo_dn[:][:, None, :], lo)
+    dt, rd = dtd_ref[:], rtd_ref[:]
+    a = jnp.exp(-dt * rmu)
+    al = (hi - lo) * rd
+    b = (1.0 - a) * (-al * mu + hi) + al * a * dt
+    a, b = _scan_fwd(a, b, iota)
+    fdn = a * c_dn[:][:, None, :] + b
+    dn_out_ref[:] = fdn
+    c_dn[:] = fdn[:, ch - 1]
+    lo_dn[:] = hi[:, ch - 1]
+
+    # ---- up sweep, chunk index nc-1-c (reversed walk) ----
+    nc = pl.num_programs(1)
+    glob = (nc - 1 - pl.program_id(1)) * ch + iota       # global level
+    lo = mix_src(up_r_ref, dn_r_ref, xd_r_ref, yd_r_ref, mb[:, :hp])
+    hi = pltpu.roll(lo, jnp.int32(ch - 1), 1)            # su[l+1]
+    hi = jnp.where(iota == ch - 1, hi_up[:][:, None, :], hi)
+    dt, rd = dtu_ref[:], rtu_ref[:]
+    a = jnp.exp(-dt * rmu)
+    al = (hi - lo) * rd
+    b = (1.0 - a) * (al * mu + lo) - al * a * dt
+    is_ground = glob == nt
+    a = jnp.where(is_ground, 0.0, a)
+    b = jnp.where(is_ground, bc_ref[:][:, None, :], b)
+    a, b = _scan_rev(a, b, iota)
+    fup = a * c_up[:][:, None, :] + b
+    up_out_ref[:] = fup
+    c_up[:] = fup[:, 0]
+    hi_up[:] = lo[:, 0]
+
+
+def fused_scatter_sweep(up_h, dn_h, xdel_b, ydel_b, mboth, blocks_per_order,
+                        dtau_dn, rdtau_dn, dtau_up, rdtau_up, muh, bc, nt,
+                        precision=lax.Precision.DEFAULT, interpret=False,
+                        ch=None):
+    """One scattering-order update: source + both sweeps, fused.
+
+    Same operand conventions as :func:`scatter_fused` (field hemispheres,
+    mixing fractions, per-order operators, order-major instance blocks)
+    plus :func:`sweep_scan_batched`'s per-level affine-step inputs.
+    Returns ``(up, dn)``, each (B, LP, HP).
+    """
+    b_n, lp, hp = up_h.shape
+    if ch is None:
+        ch = _CH
+    nb, nc = b_n // _IB, lp // ch
+    dtype = up_h.dtype
+    w = 2 * hp
+
+    fwd3 = pl.BlockSpec((_IB, ch, hp), lambda b, c: (b, c, _i0()),
+                        memory_space=pltpu.VMEM)
+    rev3 = pl.BlockSpec((_IB, ch, hp), lambda b, c, _nc=nc:
+                        (b, _nc - 1 - c, _i0()),
+                        memory_space=pltpu.VMEM)
+    col_fwd = pl.BlockSpec((_IB, ch, 1), lambda b, c: (b, c, _i0()),
+                           memory_space=pltpu.VMEM)
+    col_rev = pl.BlockSpec((_IB, ch, 1), lambda b, c, _nc=nc:
+                           (b, _nc - 1 - c, _i0()),
+                           memory_space=pltpu.VMEM)
+    mb_blk = pl.BlockSpec(
+        (1, 2 * w, w),
+        lambda b, c, _bpo=np.int32(blocks_per_order):
+        (b // _bpo, _i0(), _i0()),
+        memory_space=pltpu.VMEM)
+    mu_blk = pl.BlockSpec((1, hp), lambda b, c: (_i0(), _i0()),
+                          memory_space=pltpu.VMEM)
+    bc_blk = pl.BlockSpec((_IB, hp), lambda b, c: (b, _i0()),
+                          memory_space=pltpu.VMEM)
+    out_up = pl.BlockSpec((_IB, ch, hp), lambda b, c, _nc=nc:
+                          (b, _nc - 1 - c, _i0()),
+                          memory_space=pltpu.VMEM)
+    out_dn = pl.BlockSpec((_IB, ch, hp), lambda b, c: (b, c, _i0()),
+                          memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((_IB, hp), dtype) for _ in range(4)]
+    kern = functools.partial(_fused_kernel, nt=nt, precision=precision)
+    mu2 = muh.astype(dtype)[None]
+    rmu2 = (1.0 / muh.astype(dtype))[None]
+    kw = {}
+    if not interpret:
+        # the fused working set (two double-buffered field chunks + the
+        # operator + concat/scan temporaries) peaks at ~18 MB, just past
+        # Mosaic's default 16 MB scoped-vmem cap; the chip has 128 MB
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+    return pl.pallas_call(
+        kern, grid=(nb, nc),
+        in_specs=[fwd3, fwd3, rev3, rev3, col_fwd, col_fwd, col_rev,
+                  col_rev, mb_blk, col_fwd, col_fwd, col_rev, col_rev,
+                  mu_blk, mu_blk, bc_blk],
+        out_specs=(out_up, out_dn),
+        out_shape=(jax.ShapeDtypeStruct((b_n, lp, hp), dtype),
+                   jax.ShapeDtypeStruct((b_n, lp, hp), dtype)),
+        scratch_shapes=scratch, interpret=interpret, **kw,
+    )(up_h, dn_h, up_h, dn_h, xdel_b, ydel_b, xdel_b, ydel_b, mboth,
+      dtau_dn, rdtau_dn, dtau_up, rdtau_up, mu2, rmu2, bc)
 
 
 def sweep_coeffs(h_b, nt):

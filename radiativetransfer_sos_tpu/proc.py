@@ -414,6 +414,25 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
         trace = NullTrace()
     cfg.validate()
 
+    # SURVEY §5 profiling subsystem: RTSOS_PROFILE=<dir> wraps the whole
+    # pipeline in a JAX/XLA profiler trace (viewable in TensorBoard /
+    # Perfetto) on top of the per-stage wall timers below
+    import contextlib
+    import os as _os
+
+    prof_dir = _os.environ.get("RTSOS_PROFILE")
+    if prof_dir:
+        import jax.profiler as _prof
+
+        ctx = _prof.trace(prof_dir)
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _run_traced(cfg, trace, mesh)
+
+
+def _run_traced(cfg: SosConfig, trace, mesh) -> SosResults:
+
     # --- angle grids (C4)
     with trace.stage("angles"):
         lum = angles_mod.make_radiance_grid(cfg.angles.thetas_deg,

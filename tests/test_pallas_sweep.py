@@ -125,6 +125,40 @@ def test_scatter_fused_interpret_matches_matmul(s_n, t_n):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
 
 
+def test_fused_scatter_sweep_interpret_matches_pipeline():
+    """The fused order-update kernel == scatter_fused -> sweep_scan_batched
+    (it is kept as a measured-slower variant; bitwise equality on TPU,
+    allclose in interpret mode where op order may differ)."""
+    rng = np.random.default_rng(11)
+    b_n, lp, hp = 16, 2 * pallas_ops._CH, 128
+    nt = lp - 40
+    bpo = b_n // pallas_ops._IB     # single order
+    up = jnp.asarray(rng.random((b_n, lp, hp)), jnp.float32)
+    dn = jnp.asarray(rng.random((b_n, lp, hp)), jnp.float32)
+    xd = jnp.asarray(rng.random((b_n, lp, 1)), jnp.float32)
+    yd = 1.0 - xd
+    mb = jnp.asarray(rng.random((1, 4 * hp, 2 * hp)) * 0.01, jnp.float32)
+    h1 = np.concatenate([[0.0], np.cumsum(rng.uniform(1e-4, 2e-3, lp - 1))])
+    h_b = jnp.asarray(np.broadcast_to(h1, (b_n, lp)), jnp.float32)
+    muh = jnp.asarray(np.concatenate([rng.uniform(0.05, 1.0, hp - 2),
+                                      np.ones(2)]), jnp.float32)
+    bc = jnp.asarray(rng.random((b_n, hp)), jnp.float32)
+    coeffs = pallas_ops.sweep_coeffs(h_b, nt)
+    prec = lax.Precision.HIGHEST
+
+    src = pallas_ops.scatter_fused(up, dn, xd, yd, mb, bpo, prec,
+                                   interpret=True)
+    want_up, want_dn = pallas_ops.sweep_scan_batched(
+        src, *coeffs, muh, bc, nt, interpret=True)
+    got_up, got_dn = pallas_ops.fused_scatter_sweep(
+        up, dn, xd, yd, mb, bpo, *coeffs, muh, bc, nt, prec,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got_up), np.asarray(want_up),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_dn), np.asarray(want_dn),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_tpu_kernels_match_scan(tpu_device):
     """The REAL (non-interpret) kernels on the attached TPU — interpret
     mode cannot catch Mosaic lowering or tiling regressions (judge r3
