@@ -123,6 +123,26 @@ def test_energy_conservation_conservative_rayleigh(tau):
     np.testing.assert_allclose(total, 1.0, rtol=2e-6)
 
 
+def test_lambertian_direct_reflection_closed_form():
+    """Order-1 with a Lambertian ground: the TOA radiance excess over the
+    black-surface run is exactly the doubly-attenuated isotropic
+    reflection of the direct beam, rho * mu0 * exp(-tau(1/mu + 1/mu0))
+    (Chandrasekhar 1950 §72 planetary-problem boundary term; the same
+    F0 = 1 normalization the single-scattering test pins down).  Diffuse
+    light touching the ground re-emerges only at order >= 2, so igmax = 1
+    isolates the boundary term."""
+    tau, theta0, rho = 0.25, 40.0, 0.35
+    inp0, opt, grid = _rayleigh_problem(tau, theta0, igmax=1, rho=0.0)
+    inpr, _, _ = _rayleigh_problem(tau, theta0, igmax=1, rho=rho)
+    i0 = solver.solve_fourier_batch_jit(inp0, opt)
+    ir = solver.solve_fourier_batch_jit(inpr, opt)
+    xi0, _, _ = _toa_stokes(i0, grid, 0.0)
+    xir, _, _ = _toa_stokes(ir, grid, 0.0)
+    mu0 = abs(grid.mus)
+    want = rho * mu0 * np.exp(-tau * (1.0 / grid.mu + 1.0 / mu0))
+    np.testing.assert_allclose(xir - xi0, want, rtol=1e-9)
+
+
 def test_helmholtz_reciprocity():
     """Swapping sun and view directions leaves the mu0-normalized emergent
     reflection function unchanged: R = I(mu_v; mu_0)/mu_0 is symmetric
