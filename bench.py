@@ -173,6 +173,78 @@ def section_scale512(out, n_big=512):
     _emit("scale512", sec)
 
 
+def section_e2e_ckd(out):
+    """End-to-end pipeline wall-clock: properties (Mie/WMO aerosol,
+    Cox-Munk glitter) + CKD absorption + batched RT solve + azimuth
+    recomposition, on the 765 nm O2 A-band case (the demo physics at a
+    wavelength whose CKD tables ship in this snapshot; the literal
+    910 nm demo's H2O blobs are absent — BASELINE.md).  Runs twice:
+    cold includes Mie/surface product generation on the 2-core host,
+    warm reuses the product cache (the reference's file-memoization
+    layer, cache.py) and the persistent XLA cache.  The reference solves
+    its CKD loop serially at ~85 s/term plus property generation."""
+    import os
+    import time as _t
+
+    root = os.environ.get("SOS_ABS_ROOT", "/root/reference")
+    if not os.path.isdir(os.path.join(root, "fic", "COEFF_CKD")):
+        raise RuntimeError(f"no CKD tables under {root}; set SOS_ABS_ROOT")
+    os.environ.setdefault("SOS_ABS_ROOT", root)
+    os.environ.setdefault("RTSOS_PRODUCT_CACHE",
+                          os.path.expanduser("~/.cache/rtsos_products"))
+
+    from radiativetransfer_sos_tpu import tracing
+    from radiativetransfer_sos_tpu.config import SosConfig
+    from radiativetransfer_sos_tpu.proc import sos_run
+
+    def case():
+        cfg = SosConfig(wavelength=0.765)
+        cfg.angles.thetas_deg = 32.48
+        cfg.angles.nbmu_lum = 40
+        cfg.surface.type = 1
+        cfg.surface.wind = 2.0
+        cfg.surface.ind = 1.34
+        cfg.surface.alb = 0.0
+        cfg.aerosols.model = 1
+        cfg.aerosols.wmo_model = 2
+        cfg.aerosols.aot_ref = 0.1
+        cfg.aerosols.waref = 0.55
+        cfg.profile.ha = 2.0
+        cfg.absorption.absprofil = 2
+        cfg.absorption.mode_ckd = 1
+        cfg.view.itrphi = 1
+        cfg.view.phi_deg = 0.0
+        return cfg
+
+    times = {}
+    for label in ("first_run", "repeat_run"):
+        tr = tracing.Trace()
+        t0 = _t.perf_counter()
+        res = sos_run(case(), trace=tr)
+        times[label] = round(_t.perf_counter() - t0, 1)
+        stages = {k: round(v, 2) for k, v in sorted(
+            tr.timings.items(), key=lambda kv: -kv[1])[:5]}
+    sec = {
+        "case": "765nm O2 A-band, WMO maritime AOT 0.1, Cox-Munk wind 2",
+        "n_ckd_terms": int(res.n_ckd_terms),
+        # first_run pays per-process costs (XLA cache loads, first jit of
+        # each shape; with EMPTY product/compile caches it is 70-240 s —
+        # Mie + glitter generation on the 2-core host dominates);
+        # repeat_run is the steady-state production regime (a LUT sweep
+        # runs many configs per process)
+        "first_run_s": times["first_run"],
+        "repeat_run_s": times["repeat_run"],
+        "repeat_top_stages_s": stages,
+        "fortran_est_s": round(
+            int(res.n_ckd_terms) * FORTRAN_EST_SECONDS_PER_TERM, 0),
+        "vs_fortran_est_repeat": round(
+            int(res.n_ckd_terms) * FORTRAN_EST_SECONDS_PER_TERM
+            / max(times["repeat_run"], 1e-3), 0),
+    }
+    out["e2e_ckd"] = sec
+    _emit("e2e_ckd", sec)
+
+
 def section_roofline(out):
     """Isolated hot-kernel measurements (SURVEY.md §3.2 ranking)."""
     import jax
@@ -334,6 +406,7 @@ def main():
     sections = [("throughput16", section_throughput16), ("gate", section_gate)]
     if not args.quick:
         sections += [("scale512", section_scale512),
+                     ("e2e_ckd", section_e2e_ckd),
                      ("roofline", section_roofline)]
     for name, fn in sections:
         try:
@@ -361,6 +434,7 @@ def main():
         "fourier_early_exit_speedup": t16.get("fourier_early_exit_speedup"),
         "terms_per_s_at_512": out.get("scale512", {}).get("terms_per_s"),
         "scale512": out.get("scale512"),
+        "e2e_ckd": out.get("e2e_ckd"),
         "precision_gate": gate,
         "compile_s": t16.get("compile_s"),
         "device": dev.device_kind,

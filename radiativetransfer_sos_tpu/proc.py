@@ -819,7 +819,12 @@ def sos_run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
             trace = Trace(logfile=logfile)
             own = True
     try:
-        res = trphi_option(cfg, run(cfg, trace, mesh=mesh))
+        res = run(cfg, trace, mesh=mesh)
+        if trace is not None:
+            with trace.stage("trphi"):
+                res = trphi_option(cfg, res)
+        else:
+            res = trphi_option(cfg, res)
     except Exception:
         if own:
             trace.close(ok=False)
