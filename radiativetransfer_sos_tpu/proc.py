@@ -44,6 +44,56 @@ from .surface.fresnel import flat_sea_fresnel
 # Rayleigh optical thickness
 # ---------------------------------------------------------------------------
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _gsf_basis_cached(mu_bytes: bytes, n: int, mus: float, os_nb: int,
+                      n_s: int):
+    """GSF basis memo: identical for every case of a same-geometry LUT
+    sweep (the recurrence over L <= OS_NB x directions costs ~0.5 s/case
+    on the 2-core host and dominated the batched sweep's prepare time)."""
+    mu = np.frombuffer(mu_bytes, dtype=np.float64).reshape(n)
+    return gsf.gsf_basis(mu, mus, os_nb, n_s)
+
+
+@_functools.lru_cache(maxsize=16)
+def _kernels_cached(mu_bytes: bytes, n: int, mus: float, os_nb: int,
+                    n_s: int, alpha_b: bytes, beta_b: bytes,
+                    gamma_b: bytes, zeta_b: bytes, mdf: float,
+                    ipolar: bool):
+    """Phase-operator memo: across a LUT sweep the (grid, expansion)
+    pair repeats — AOT only scales the profile, not the normalized
+    Legendre/GSF coefficients, so every AOT/albedo/geometry-output case
+    of one aerosol model shares these (S, 3, 3, D, D) tensors."""
+    psl, rsl, tsl = _gsf_basis_cached(mu_bytes, n, mus, os_nb, n_s)
+    psl, rsl, tsl = map(jnp.asarray, (psl, rsl, tsl))
+    coef = [np.frombuffer(b, dtype=np.float64)
+            for b in (alpha_b, beta_b, gamma_b, zeta_b)]
+    k_aer = kernels.aerosol_kernel(psl, rsl, tsl, *coef, ipolar)
+    k_mol = kernels.molecular_kernel(psl, rsl, tsl, mdf, ipolar)
+    return k_aer, k_mol
+
+
+@_functools.lru_cache(maxsize=8)
+def _load_ckd_cached(nu: float, resolution: int, allow_missing: bool):
+    """CKD table memo: one ASCII parse per (band, resolution) per process
+    (a spectral sweep re-reads the same multi-MB files otherwise)."""
+    return load_ckd(nu, resolution, allow_missing=allow_missing)
+
+
+@_functools.lru_cache(maxsize=16)
+def _tau_terms_cached(nu, resolution, allow_missing, lamb, absprofil,
+                      psurf, h2o, o3, co2, ch4):
+    tables = _load_ckd_cached(nu, resolution, allow_missing)
+    cols = gas_columns(absprofil, user_profile=None, psurf=psurf, h2o=h2o,
+                       o3=o3, co2=co2, ch4=ch4)
+    tau_terms, aik = tau_abs_all_terms(tables, lamb, cols)
+    tau_terms.setflags(write=False)     # shared across cases
+    aik.setflags(write=False)
+    return tau_terms, aik, cols
+
+
 def rayleigh_mot(wavelength: float, psurf: float) -> float:
     """Perbos (1982) CNES molecular optical thickness
     (``src/SOS_PROC.F:3333-3335``)."""
@@ -432,6 +482,47 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
 
 
 def _run_traced(cfg: SosConfig, trace, mesh) -> SosResults:
+    prep = prepare_case(cfg, trace, mesh)
+    res = dispatch_case(prep, trace, mesh)
+    return finish_case(prep, res, trace)
+
+
+@dataclasses.dataclass
+class PreparedCase:
+    """Everything between property generation and the device solve.
+
+    ``prepare_case`` -> ``dispatch_case`` -> ``finish_case`` is exactly
+    ``run`` split at the solve boundary, so a LUT driver can prepare many
+    cases on the host and solve them in ONE multiband dispatch
+    (``lut.sos_run_many(batch_cases=...)``,
+    ``solver.solve_fourier_multiband``).
+    """
+    cfg: SosConfig
+    lum: object
+    inp: solver.SolveInputs
+    opt: solver.SolveOptions
+    aik: np.ndarray
+    n_terms: int
+    n_solved: int
+    iborm: int
+    aer_exp: object
+    ttot_vrai_terms: np.ndarray
+    ttot_tronc_terms: np.ndarray
+    use_zout: bool
+    hs: np.ndarray
+    xds: np.ndarray
+    yds: np.ndarray
+    k_aer: object
+    k_mol: object
+    io: dict
+
+
+def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
+    """Host-side pipeline of one case: properties -> SolveInputs."""
+    if trace is None:
+        from .tracing import NullTrace
+        trace = NullTrace()
+    cfg.validate()
 
     # --- angle grids (C4)
     with trace.stage("angles"):
@@ -529,19 +620,27 @@ def _run_traced(cfg: SosConfig, trace, mesh) -> SosResults:
     trace_abs = trace.stage("absorption"); trace_abs.__enter__()
     if use_abs:
         nu = 1.0e4 / cfg.wavelength
-        tables = load_ckd(nu, cfg.absorption.resolution,
-                          allow_missing=cfg.absorption.allow_missing_gas)
+        tables = _load_ckd_cached(nu, cfg.absorption.resolution,
+                                  bool(cfg.absorption.allow_missing_gas))
         if tables.missing:
             trace.event("ckd", missing_gases=list(tables.missing))
         lamb = tables.band_index(nu)
         o3 = cfg.absorption.o3
-        cols = gas_columns(cfg.absorption.absprofil,
-                           user_profile=cfg.absorption.user_profile,
-                           psurf=cfg.profile.psurf,
-                           h2o=cfg.absorption.h2o,
-                           o3=o3 / 1000.0 if o3 != UNSET else UNSET,
-                           co2=cfg.absorption.co2, ch4=cfg.absorption.ch4)
-        tau_terms, aik = tau_abs_all_terms(tables, lamb, cols)
+        a = cfg.absorption
+        # per-term tau_abs depends only on (band, atmosphere, gas
+        # contents); every aerosol/surface/geometry case of a sweep
+        # shares it (no user-profile caching: mutable array argument)
+        if a.user_profile is None:
+            tau_terms, aik, cols = _tau_terms_cached(
+                nu, a.resolution, bool(a.allow_missing_gas), lamb,
+                a.absprofil, float(cfg.profile.psurf), a.h2o,
+                o3 / 1000.0 if o3 != UNSET else UNSET, a.co2, a.ch4)
+        else:
+            cols = gas_columns(a.absprofil, user_profile=a.user_profile,
+                               psurf=cfg.profile.psurf, h2o=a.h2o,
+                               o3=o3 / 1000.0 if o3 != UNSET else UNSET,
+                               co2=a.co2, ch4=a.ch4)
+            tau_terms, aik = tau_abs_all_terms(tables, lamb, cols)
         if cfg.absorption.mode_ckd == 2:
             trs = (aik[:, None] * np.exp(-tau_terms)).sum(axis=0)
             tau_terms = np.maximum(-np.log(trs), 0.0)[None, :]
@@ -605,12 +704,13 @@ def _run_traced(cfg: SosConfig, trace, mesh) -> SosResults:
     iborm = 2 if pure_rayleigh else os_nb
 
     # --- kernels (C17 inputs)
-    psl, rsl, tsl = gsf.gsf_basis(lum.mu, lum.mus, os_nb, iborm + 1)
-    psl, rsl, tsl = map(jnp.asarray, (psl, rsl, tsl))
-    k_aer = kernels.aerosol_kernel(psl, rsl, tsl, aer_exp.alpha,
-                                   aer_exp.beta, aer_exp.gamma,
-                                   aer_exp.zeta, cfg.ipolar)
-    k_mol = kernels.molecular_kernel(psl, rsl, tsl, cfg.mdf, cfg.ipolar)
+    def _b(a):
+        return np.ascontiguousarray(a, dtype=np.float64).tobytes()
+
+    k_aer, k_mol = _kernels_cached(
+        _b(lum.mu), lum.mu.shape[0], float(lum.mus), os_nb, iborm + 1,
+        _b(aer_exp.alpha), _b(aer_exp.beta), _b(aer_exp.gamma),
+        _b(aer_exp.zeta), float(cfg.mdf), bool(cfg.ipolar))
 
     if ifresnel or igli:
         f11, f12, f33 = flat_sea_fresnel(lum.mu, lum.mus, cfg.surface.ind,
@@ -662,6 +762,23 @@ def _run_traced(cfg: SosConfig, trace, mesh) -> SosResults:
         surface=surf,
         zprof=jnp.asarray(zprofs) if use_zout else None,
         zout_km=jnp.asarray(float(cfg.view.zout_km)) if use_zout else None)
+    return PreparedCase(
+        cfg=cfg, lum=lum, inp=inp, opt=opt, aik=aik, n_terms=n_terms,
+        n_solved=n_solved, iborm=iborm, aer_exp=aer_exp,
+        ttot_vrai_terms=ttot_vrai_terms,
+        ttot_tronc_terms=ttot_tronc_terms, use_zout=use_zout,
+        hs=hs, xds=xds, yds=yds, k_aer=k_aer, k_mol=k_mol, io=io)
+
+
+def dispatch_case(prep: PreparedCase, trace=None,
+                  mesh=None) -> solver.FourierResult:
+    """Device solve of one prepared case (the routing run() always took);
+    results are trimmed back to the case's true term count."""
+    if trace is None:
+        from .tracing import NullTrace
+        trace = NullTrace()
+    inp, opt = prep.inp, prep.opt
+    n_terms, n_solved, iborm = prep.n_terms, prep.n_solved, prep.iborm
     with trace.stage("solve"):
         if mesh is not None:
             # scene-sharded terms; blocked Fourier early exit composes when
@@ -688,25 +805,48 @@ def _run_traced(cfg: SosConfig, trace, mesh) -> SosResults:
         if n_solved != n_terms:   # drop the padded terms
             res = jax.tree_util.tree_map(lambda x: x[:n_terms], res)
 
-    # per-IS/IG convergence narration (the reference's unit-99 OS log,
-    # src/SOS_OS.F:1306-1415; SURVEY §5 "debug dumps of scan carry")
-    if res.ig_last is not None:
-        ig = np.asarray(res.ig_last)
-        code = np.asarray(res.stop_code)
-        names = {0: "igmax", 1: "geom-conv", 2: "valdif", 3: "sumdif"}
-        trace.event("scattering", ig_mean=round(float(ig.mean()), 2),
-                    ig_max=int(ig.max()),
-                    stops={names[c]: int((code == c).sum())
-                           for c in np.unique(code)})
-        for t in range(min(n_terms, 4)):     # per-order dump, first terms
-            trace.event(
-                "scattering.orders", term=t,
-                ig_per_order=[int(v) for v in ig[t]],
-                stop_per_order=[names[int(c)] for c in code[t]])
-        if "-SOS.Log" in io:
-            products.write_sos_log(io["-SOS.Log"], ig, code,
-                                   np.asarray(res.emoins),
-                                   np.asarray(res.eplus))
+    _narrate_convergence(prep, res, trace)
+    return res
+
+
+def _narrate_convergence(prep: PreparedCase, res, trace) -> None:
+    """Per-IS/IG convergence narration (the reference's unit-99 OS log,
+    src/SOS_OS.F:1306-1415; SURVEY §5 "debug dumps of scan carry")."""
+    if res.ig_last is None:
+        return
+    io = prep.io
+    if io:
+        from . import products
+    ig = np.asarray(res.ig_last)
+    code = np.asarray(res.stop_code)
+    names = {0: "igmax", 1: "geom-conv", 2: "valdif", 3: "sumdif"}
+    trace.event("scattering", ig_mean=round(float(ig.mean()), 2),
+                ig_max=int(ig.max()),
+                stops={names[c]: int((code == c).sum())
+                       for c in np.unique(code)})
+    for t in range(min(prep.n_terms, 4)):    # per-order dump, first terms
+        trace.event(
+            "scattering.orders", term=t,
+            ig_per_order=[int(v) for v in ig[t]],
+            stop_per_order=[names[int(c)] for c in code[t]])
+    if "-SOS.Log" in io:
+        products.write_sos_log(io["-SOS.Log"], ig, code,
+                               np.asarray(res.emoins),
+                               np.asarray(res.eplus))
+
+
+def finish_case(prep: PreparedCase, res, trace=None) -> SosResults:
+    """Aggregation + transmissions of one solved case (run()'s tail)."""
+    if trace is None:
+        from .tracing import NullTrace
+        trace = NullTrace()
+    cfg, lum, aik = prep.cfg, prep.lum, prep.aik
+    n_terms, use_zout = prep.n_terms, prep.use_zout
+    ttot_vrai_terms = prep.ttot_vrai_terms
+    ttot_tronc_terms = prep.ttot_tronc_terms
+    hs, xds, yds = prep.hs, prep.xds, prep.yds
+    k_aer, k_mol = prep.k_aer, prep.k_mol
+    aer_exp = prep.aer_exp
 
     # --- aggregation (C18): AIK-weighted contraction over the batch axis.
     # One vmapped stop-mask call for the whole term batch: at a real 1 cm^-1

@@ -1092,6 +1092,160 @@ def solve_fourier_blocked_chunked(inp: SolveInputs, opt: SolveOptions,
         ig_last=cat("ig_last"), stop_code=cat("stop_code"))
 
 
+# ---------------------------------------------------------------------------
+# Multiband: a CASE axis over (wavelength x geometry x aerosol) on top of
+# the CKD-term axis — the LUT-generation workload in one device dispatch
+# ---------------------------------------------------------------------------
+
+def solve_fourier_multiband(inp: SolveInputs,
+                            opt: SolveOptions) -> FourierResult:
+    """``solve_fourier_batch`` vmapped over a leading CASE axis.
+
+    The reference generates lookup tables by running one full process per
+    (wavelength, geometry, aerosol, surface) case (``exe/runSOS-ABS_*``);
+    solving case-by-case on TPU leaves the chip underutilized whenever the
+    per-case CKD term count is small (real 10 cm^-1 bands carry 1-10
+    terms; the chip peaks past ~256 instances).  Here N compatible cases
+    stack on a leading axis of every per-case operand — ``h/xdel/ydel``
+    (C, T, NT+1), ``k_aer/k_mol`` (C, S, ...), ``tab`` (C,), the surface
+    fields (C, ...), ``zprof/zout_km`` — and the whole (C x S x T) grid
+    advances through one solve.  ``mu_pos/w_pos/n0/is0`` are shared (the
+    compatibility contract: one angle grid, one Fourier-order count).
+
+    vmap composes with the Pallas kernels (the case axis joins the grid;
+    verified bitwise-equal to per-case solves on the v5e) and with the
+    while_loop (per-instance masking already carries convergence).
+    Results get a leading (C,) axis.
+    """
+    surf = inp.surface
+    surf_axes = SurfaceInputs(
+        rho=0, rmat=None if surf.rmat is None else 0,
+        f11=None if surf.f11 is None else 0,
+        f12=None if surf.f12 is None else 0,
+        f33=None if surf.f33 is None else 0,
+        ind_surf=None if surf.ind_surf is None else 0)
+    axes = (0, 0, 0, 0, 0, 0, surf_axes,
+            None if inp.zprof is None else 0,
+            None if inp.zout_km is None else 0,
+            None if inp.n0_col is None else 0)
+
+    def one(h, xdel, ydel, k_aer, k_mol, tab, s, zprof, zout_km, n0_col):
+        i = inp._replace(h=h, xdel=xdel, ydel=ydel, k_aer=k_aer,
+                         k_mol=k_mol, tab=tab, surface=s, zprof=zprof,
+                         zout_km=zout_km, n0_col=n0_col)
+        return solve_fourier_batch(i, opt)
+
+    return jax.vmap(one, in_axes=axes)(
+        inp.h, inp.xdel, inp.ydel, inp.k_aer, inp.k_mol, inp.tab, surf,
+        inp.zprof, inp.zout_km, inp.n0_col)
+
+
+@_partial(jax.jit, static_argnames=("opt",))
+def solve_fourier_multiband_jit(inp: SolveInputs,
+                                opt: SolveOptions) -> FourierResult:
+    return solve_fourier_multiband(inp, opt)
+
+
+def solve_fourier_multiband_blocked(inp: SolveInputs, opt: SolveOptions,
+                                    block: Optional[int] = None,
+                                    seuil_sf: float = cte.PH_SEUIL_SF
+                                    ) -> FourierResult:
+    """Blocked Fourier dispatch of the multiband grid.
+
+    The driver of :func:`solve_fourier_blocked` with the order slice taken
+    on axis 1 of the (C, S, ...) kernels; the SOS_ARRET_FOURIER stop runs
+    on the flattened (C*T) instance records, so every case exits at its
+    own order and dispatching stops when the LAST case has converged.
+    """
+    c_n = inp.k_aer.shape[0]
+    n_s = inp.k_aer.shape[1]
+    t_n = inp.h.shape[1]
+    n = inp.mu_pos.shape[0]
+    d = 2 * n + 1
+    if block is None:
+        from . import memplan
+        block = min(memplan.block_for_terms(c_n * t_n), n_s)
+    n_pad = ((n_s + block - 1) // block) * block
+
+    def pad_s(x):
+        if x is None or x.shape[1] == n_pad:
+            return x
+        pad = [(0, 0), (0, n_pad - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, pad)
+
+    k_aer = pad_s(inp.k_aer)
+    k_mol = pad_s(inp.k_mol)
+    rmat = pad_s(inp.surface.rmat) if inp.surface.rmat is not None else None
+
+    acc_dtype = jnp.float64 if jax.config.x64_enabled else inp.h.dtype
+    ct = c_n * t_n
+    i4 = jnp.zeros((ct, 3, d), acc_dtype)
+    i4c = jnp.zeros_like(i4)
+    i5 = jnp.zeros_like(i4)
+    i5c = jnp.zeros_like(i4)
+    found = jnp.zeros((ct,), bool)
+    parts = []
+    emoins = eplus = tauout = None
+    n_dispatched = 0
+
+    def dispatch(s0):
+        blk = slice(s0, s0 + block)
+        is0 = jnp.zeros((block,), dtype=inp.h.dtype)
+        if s0 == 0:
+            is0 = is0.at[0].set(1.0)
+        inp_b = inp._replace(
+            k_aer=k_aer[:, blk], k_mol=k_mol[:, blk],
+            surface=inp.surface._replace(
+                rmat=None if rmat is None else rmat[:, blk]),
+            is0=is0)
+        return solve_fourier_multiband_jit(inp_b, opt)
+
+    def process(s0, res_b):
+        nonlocal i4, i4c, i5, i5c, found, emoins, eplus, tauout, \
+            n_dispatched
+        parts.append(res_b)
+        if s0 == 0:
+            emoins, eplus = res_b.emoins, res_b.eplus
+            tauout = res_b.tauout
+        n_dispatched = min(s0 + block, n_s)
+        bnd = res_b.i3bnd.reshape(ct, -1, 3, d)
+        i4, i4c, i5, i5c, found, all_found = _stop_step(
+            i4, i4c, i5, i5c, found, bnd, s0, block, n_s, float(seuil_sf))
+        return bool(all_found)
+
+    from collections import deque
+    inflight = deque()
+    s0 = 0
+    done = False
+    while s0 < n_pad and not done:
+        inflight.append((s0, dispatch(s0)))
+        s0 += block
+        if len(inflight) >= 2:
+            done = process(*inflight.popleft())
+    while inflight:
+        process(*inflight.popleft())
+
+    def cat(field, trim):
+        out = jnp.concatenate([getattr(p, field) for p in parts], axis=2)
+        return out[:, :, :trim]
+
+    zeros_tail = n_s - n_dispatched
+    i3bnd = cat("i3bnd", n_dispatched)
+    i3z = cat("i3z", n_dispatched)
+    ig_last = cat("ig_last", n_dispatched)
+    stop_code = cat("stop_code", n_dispatched)
+    if zeros_tail > 0:
+        def padz(x):
+            pad = [(0, 0), (0, 0), (0, zeros_tail)] \
+                + [(0, 0)] * (x.ndim - 3)
+            return jnp.pad(x, pad)
+        i3bnd, i3z = padz(i3bnd), padz(i3z)
+        ig_last, stop_code = padz(ig_last), padz(stop_code)
+    return FourierResult(i3z=i3z, i3bnd=i3bnd,
+                         emoins=emoins, eplus=eplus, tauout=tauout,
+                         ig_last=ig_last, stop_code=stop_code)
+
+
 def fourier_stop_mask(i3bnd, seuil_sf: float = cte.PH_SEUIL_SF):
     """Replicates the sequential Fourier early exit, post-hoc.
 
