@@ -11,12 +11,17 @@ the round-2/3 benches died mid-run and left no numbers at all):
    reference's sequential Fourier early exit (``solve_fourier_blocked``).
 2. **gate** — term 0 of the f32 run vs the f64 CPU oracle; the throughput
    numbers only count if the radiances agree within ``precision.F32_REL_TOL``.
-3. **scale512** — the production-scale CKD batch (512 terms, the realistic
-   1 cm^-1-product term count) through ``solve_fourier_blocked_chunked``
-   at the HBM-aware ``memplan.pick_dispatch`` parameters.
-4. **roofline** — the scattering-source matmul (MXU-bound) and the Pallas
+3. **scale512** — the production-scale CKD batch (512 terms, a realistic
+   band x term batch) through ``solve_fourier_blocked_chunked`` at the
+   HBM-aware ``memplan.pick_dispatch`` parameters.
+4. **e2e_ckd** — the full pipeline (properties + CKD absorption + solve
+   + recomposition) on the 765 nm O2 A-band case, first vs repeat run.
+5. **lut_sweep** — a 20-case (AOT x albedo) sweep, sequential vs ONE
+   multiband dispatch (``lut.sos_run_many(batch_cases=True)``).
+6. **roofline** — the scattering-source matmul (MXU-bound) and the Pallas
    layer sweep vs its associative-scan fallback (HBM-bound), against the
-   chip's peak (BASELINE.md "speed-of-light kernels").
+   chip's peak (BASELINE.md "speed-of-light kernels"), with the numbered
+   gap breakdown.
 
 Every section's JSON is printed to **stderr the moment it completes**; the
 final aggregated record is the single stdout JSON line the driver parses.
@@ -245,6 +250,67 @@ def section_e2e_ckd(out):
     _emit("e2e_ckd", sec)
 
 
+def section_lut_sweep(out, n_aot=5, n_alb=4):
+    """The LUT-generation workload: a 20-case (AOT x albedo) sweep of the
+    765 nm CKD case, sequential vs one multiband dispatch
+    (``lut.sos_run_many(batch_cases=True)``).  Results are bit-identical;
+    the speedup is the point (real bands carry too few CKD terms to fill
+    the chip case-by-case)."""
+    import os
+    import time as _t
+
+    root = os.environ.get("SOS_ABS_ROOT", "/root/reference")
+    if not os.path.isdir(os.path.join(root, "fic", "COEFF_CKD")):
+        raise RuntimeError(f"no CKD tables under {root}; set SOS_ABS_ROOT")
+    os.environ.setdefault("SOS_ABS_ROOT", root)
+    os.environ.setdefault("RTSOS_PRODUCT_CACHE",
+                          os.path.expanduser("~/.cache/rtsos_products"))
+
+    import numpy as np
+
+    from radiativetransfer_sos_tpu import lut
+    from radiativetransfer_sos_tpu.config import SosConfig
+
+    base = SosConfig(wavelength=0.765)
+    base.angles.thetas_deg = 32.48
+    base.angles.nbmu_lum = 40
+    base.surface.alb = 0.05
+    base.aerosols.model = 1
+    base.aerosols.wmo_model = 2
+    base.aerosols.aot_ref = 0.1
+    base.aerosols.waref = 0.55
+    base.profile.ha = 2.0
+    base.absorption.absprofil = 2
+    base.view.itrphi = 1
+    base.view.phi_deg = 0.0
+    aots = list(np.linspace(0.05, 0.5, n_aot))
+    albs = list(np.linspace(0.0, 0.4, n_alb))
+    cases = lut.sweep_configs(base, {"aerosols.aot_ref": aots,
+                                     "surface.alb": albs})
+
+    lut.sos_run_many(cases, batch_cases=True)        # warm both paths
+    lut.sos_run_many(cases[:2])
+    t0 = _t.perf_counter()
+    seq = lut.sos_run_many(cases)
+    t_seq = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    bat = lut.sos_run_many(cases, batch_cases=True)
+    t_bat = _t.perf_counter() - t0
+    err = max(float(np.max(np.abs(np.asarray(b.up["i"])
+                                  - np.asarray(s.up["i"]))))
+              for b, s in zip(bat, seq))
+    sec = {
+        "n_cases": len(cases),
+        "sequential_s": round(t_seq, 2),
+        "batched_s": round(t_bat, 2),
+        "cases_per_s_batched": round(len(cases) / t_bat, 2),
+        "speedup": round(t_seq / t_bat, 2),
+        "max_abs_diff": err,
+    }
+    out["lut_sweep"] = sec
+    _emit("lut_sweep", sec)
+
+
 def section_roofline(out):
     """Isolated hot-kernel measurements (SURVEY.md §3.2 ranking)."""
     import jax
@@ -407,6 +473,7 @@ def main():
     if not args.quick:
         sections += [("scale512", section_scale512),
                      ("e2e_ckd", section_e2e_ckd),
+                     ("lut_sweep", section_lut_sweep),
                      ("roofline", section_roofline)]
     for name, fn in sections:
         try:
@@ -435,6 +502,7 @@ def main():
         "terms_per_s_at_512": out.get("scale512", {}).get("terms_per_s"),
         "scale512": out.get("scale512"),
         "e2e_ckd": out.get("e2e_ckd"),
+        "lut_sweep": out.get("lut_sweep"),
         "precision_gate": gate,
         "compile_s": t16.get("compile_s"),
         "device": dev.device_kind,

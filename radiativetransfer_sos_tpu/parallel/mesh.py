@@ -237,6 +237,71 @@ def solve_terms_sharded_blocked(mesh: Mesh, inp: solver.SolveInputs,
         solve_fn=lambda i, o: solve_terms_sharded(mesh, i, o))
 
 
+def solve_multiband_sharded(mesh: Mesh, inp: solver.SolveInputs,
+                            opt: solver.SolveOptions):
+    """Multiband solve with the CASE axis sharded over ``scene``.
+
+    A LUT sweep's cases (leading axis of kernels/profiles/surface —
+    ``solver.solve_fourier_multiband``) are embarrassingly parallel, so
+    each device solves its local slice of cases and no collective runs at
+    all (the per-case AIK aggregation happens on the host after the
+    gather of the tiny boundary records).  The case count must divide the
+    scene axis; pad with a duplicate case and drop it.
+
+    This is the pod-scale LUT story: bands x AOT x albedo x geometry
+    cases shard across chips/hosts, each solving its own (term x order)
+    grid with the single-chip kernels.
+    """
+    n_scene = mesh.shape["scene"]
+    if inp.k_aer.shape[0] % n_scene:
+        raise ValueError(f"case count {inp.k_aer.shape[0]} must divide "
+                         f"scene axis {n_scene}")
+    n0 = inp.n0
+    flags = (inp.surface.rmat is None, inp.surface.f11 is None,
+             inp.surface.f12 is None, inp.surface.f33 is None,
+             inp.surface.ind_surf is None, inp.zprof is None,
+             inp.zout_km is None, inp.n0_col is None)
+    fn = _sharded_multiband_solver(mesh, opt, n0, flags)
+    return fn(inp._replace(n0=None))
+
+
+@_functools.lru_cache(maxsize=None)
+def _sharded_multiband_solver(mesh, opt, n0, flags):
+    (no_rmat, no_f11, no_f12, no_f33, no_ind, no_zprof, no_zout,
+     no_n0col) = flags
+    from jax.sharding import PartitionSpec as P
+
+    case = P("scene")            # every per-case array shards on axis 0
+    case_n = P("scene", None)
+    rep = P()
+
+    surf_specs = solver.SurfaceInputs(
+        rho=case,
+        rmat=None if no_rmat else case_n,
+        f11=None if no_f11 else case_n,
+        f12=None if no_f12 else case_n,
+        f33=None if no_f33 else case_n,
+        ind_surf=None if no_ind else case)
+    in_specs = solver.SolveInputs(
+        h=case_n, xdel=case_n, ydel=case_n,
+        k_aer=case_n, k_mol=case_n, mu_pos=rep, w_pos=rep,
+        tab=case, n0=None, surface=surf_specs,
+        zprof=None if no_zprof else case_n,
+        zout_km=None if no_zout else case,
+        is0=None,                # all-orders multiband on this path
+        n0_col=None if no_n0col else case_n)
+    out_specs = solver.FourierResult(
+        i3z=case_n, i3bnd=case_n, emoins=case_n, eplus=case_n,
+        tauout=case_n, ig_last=case_n, stop_code=case_n)
+
+    def local(local_inp):
+        return solver.solve_fourier_multiband(
+            local_inp._replace(n0=n0), opt)
+
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(in_specs,),
+                                 out_specs=out_specs, check_vma=False))
+
+
 @_functools.lru_cache(maxsize=None)
 def _sharded_solver(mesh, opt, n0, flags, shard_fourier):
     """Jitted shard_map solver, cached on (mesh, options, input structure)."""

@@ -106,6 +106,25 @@ def test_sos_run_many_batched_matches_sequential():
         np.testing.assert_allclose(r_b.eplus, r_s.eplus, rtol=1e-12)
 
 
+def test_multiband_sharded_matches_local():
+    """Case axis sharded over the virtual 8-device scene mesh == the
+    unsharded multiband solve (the pod-scale LUT layout: no collective
+    at all, cases are embarrassingly parallel)."""
+    from radiativetransfer_sos_tpu.parallel import (make_mesh,
+                                                    solve_multiband_sharded)
+
+    cases, opt = _cases(n_cases=8, n_terms=2)
+    stacked = _stack(cases)
+    local = solver.solve_fourier_multiband_jit(stacked, opt)
+    mesh = make_mesh(n_scene=8, n_fourier=1)
+    shard = solve_multiband_sharded(mesh, stacked, opt)
+    np.testing.assert_allclose(np.asarray(shard.i3bnd),
+                               np.asarray(local.i3bnd), rtol=1e-12,
+                               atol=1e-300)
+    np.testing.assert_allclose(np.asarray(shard.emoins),
+                               np.asarray(local.emoins), rtol=1e-13)
+
+
 def test_multiband_blocked_skips_tail():
     cases, opt = _cases(n_cases=2, n_terms=2, os_nb=64)
     stacked = _stack(cases)
