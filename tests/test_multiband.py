@@ -125,6 +125,33 @@ def test_multiband_sharded_matches_local():
                                np.asarray(local.emoins), rtol=1e-13)
 
 
+def test_sos_run_many_batched_with_surface_matrices():
+    """Batched path with per-case Fourier surface matrices (glitter):
+    rmat stacks on the case axis and the blocked multiband driver slices
+    its order axis at position 1."""
+    from radiativetransfer_sos_tpu import lut
+    from radiativetransfer_sos_tpu.config import SosConfig
+
+    base = SosConfig(wavelength=0.55)
+    base.angles.thetas_deg = 35.0
+    base.angles.nbmu_lum = 8
+    base.surface.type = 1
+    base.surface.wind = 3.0
+    base.surface.ind = 1.34
+    base.surface.alb = 0.0
+    base.absorption.absprofil = 7
+    base.view.itrphi = 1
+    base.view.phi_deg = 0.0
+    base.igmax = 10
+    cases = lut.sweep_configs(base, {"profile.mot": [0.05, 0.12]})
+    seq = lut.sos_run_many(cases)
+    bat = lut.sos_run_many(cases, batch_cases=True)
+    for r_s, r_b in zip(seq, bat):
+        np.testing.assert_allclose(r_b.up["i"], r_s.up["i"],
+                                   rtol=1e-12, atol=0)
+        np.testing.assert_allclose(r_b.emoins, r_s.emoins, rtol=1e-12)
+
+
 def test_multiband_blocked_skips_tail():
     cases, opt = _cases(n_cases=2, n_terms=2, os_nb=64)
     stacked = _stack(cases)
