@@ -15,6 +15,41 @@ from tests.oracle import ckd_ref
 HAVE_DATA = os.path.isdir("/root/reference/fic/COEFF_CKD")
 needs_data = pytest.mark.skipif(not HAVE_DATA, reason="no CKD data root")
 
+
+@needs_data
+@pytest.mark.parametrize("resolution,mode", [(1, 1), (5, 1), (1, 2)])
+def test_resolutions_end_to_end(resolution, mode, monkeypatch):
+    """Every shipped CKD resolution (1/5/10 cm^-1 table sets,
+    fic/COEFF_CKD/{1,5,10}cmm1) must run through the whole pipeline at
+    the O2 A-band; mode 2 (transmission-weighted single solve) must land
+    within a few percent of mode 1 at the same resolution."""
+    monkeypatch.setenv("SOS_ABS_ROOT", "/root/reference")
+    from radiativetransfer_sos_tpu.config import SosConfig
+    from radiativetransfer_sos_tpu.proc import sos_run
+
+    def run(res_cm, m):
+        cfg = SosConfig(wavelength=0.765)
+        cfg.angles.thetas_deg = 32.0
+        cfg.angles.nbmu_lum = 10
+        cfg.surface.alb = 0.1
+        cfg.profile.ha = 2.0
+        cfg.absorption.absprofil = 2
+        cfg.absorption.resolution = res_cm
+        cfg.absorption.mode_ckd = m
+        cfg.view.itrphi = 1
+        cfg.view.phi_deg = 0.0
+        cfg.igmax = 20
+        return sos_run(cfg)
+
+    r = run(resolution, mode)
+    assert r.n_ckd_terms >= 1
+    i0 = float(np.asarray(r.up["i"])[1][0])
+    assert 0.01 < i0 < 0.5 and np.isfinite(r.emoins)
+    if mode == 2:
+        r1 = run(resolution, 1)
+        i1 = float(np.asarray(r1.up["i"])[1][0])
+        assert abs(i0 - i1) / i1 < 0.02
+
 # 675 nm: O2 B-band region with H2O data present in this snapshot
 NU_TEST = 1.0e4 / 0.675
 
