@@ -64,6 +64,7 @@ def _i0():
     scalar (not ``jnp``) so evaluating the map allocates nothing."""
     return np.int32(0)
 
+
 def _scatter_kernel(up_ref, dn_ref, xd_ref, yd_ref, mb_ref, out_ref,
                     precision):
     ib, ch, hp = up_ref.shape
@@ -184,7 +185,7 @@ def _sweep_kernel(src_dn_ref, src_up_ref, dtd_ref, rtd_ref, dtu_ref,
 
     # ---- down sweep, chunk index c (forward) ----
     hi = src_dn_ref[:]                                   # sd[l] rows
-    lo = pltpu.roll(hi, jnp.int32(1), 1)                            # sd[l-1]
+    lo = pltpu.roll(hi, jnp.int32(1), 1)                 # sd[l-1]
     lo = jnp.where(iota == 0, lo_dn[:][:, None, :], lo)
     dt, rd = dtd_ref[:], rtd_ref[:]
     a = jnp.exp(-dt * rmu)
@@ -200,7 +201,7 @@ def _sweep_kernel(src_dn_ref, src_up_ref, dtd_ref, rtd_ref, dtu_ref,
     nc = pl.num_programs(1)
     glob = (nc - 1 - pl.program_id(1)) * ch + iota       # global level
     lo = src_up_ref[:]                                   # su[l] rows
-    hi = pltpu.roll(lo, jnp.int32(ch - 1), 1)                       # su[l+1]
+    hi = pltpu.roll(lo, jnp.int32(ch - 1), 1)            # su[l+1]
     hi = jnp.where(iota == ch - 1, hi_up[:][:, None, :], hi)
     dt, rd = dtu_ref[:], rtu_ref[:]
     a = jnp.exp(-dt * rmu)
