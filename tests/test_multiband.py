@@ -106,6 +106,31 @@ def test_sos_run_many_batched_matches_sequential():
         np.testing.assert_allclose(r_b.eplus, r_s.eplus, rtol=1e-12)
 
 
+def test_multiband_zout_matches_per_case():
+    """Case axis composes with the arbitrary-output-altitude path: zprof
+    and zout_km vmap per case."""
+    cases, opt = _cases(n_cases=2, n_terms=2)
+    nt1 = cases[0].h.shape[1]
+    rng = np.random.default_rng(9)
+    zs, zouts = [], []
+    for c in range(2):
+        zs.append(jnp.asarray(np.linspace(40.0 + c, 0.0, nt1))[None]
+                  .repeat(2, axis=0))
+        zouts.append(jnp.asarray(5.0 + 3.0 * c))
+    cases = [inp._replace(zprof=z, zout_km=zo)
+             for inp, z, zo in zip(cases, zs, zouts)]
+    opt = opt._replace(use_zout=True)
+    stacked = _stack(cases)._replace(zprof=jnp.stack(zs),
+                                     zout_km=jnp.stack(zouts))
+    mb = solver.solve_fourier_multiband_jit(stacked, opt)
+    for c, inp in enumerate(cases):
+        ref = solver.solve_fourier_batch_jit(inp, opt)
+        np.testing.assert_array_equal(np.asarray(mb.i3z[c]),
+                                      np.asarray(ref.i3z))
+        np.testing.assert_array_equal(np.asarray(mb.tauout[c]),
+                                      np.asarray(ref.tauout))
+
+
 def test_multiband_sharded_matches_local():
     """Case axis sharded over the virtual 8-device scene mesh == the
     unsharded multiband solve (the pod-scale LUT layout: no collective
