@@ -454,6 +454,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="16-term throughput + precision gate only")
+    ap.add_argument("--sections", default=None,
+                    help="comma list to run (throughput16,gate,scale512,"
+                         "e2e_ckd,lut_sweep,roofline); default all")
     args = ap.parse_args()
 
     import jax
@@ -475,6 +478,12 @@ def main():
                      ("e2e_ckd", section_e2e_ckd),
                      ("lut_sweep", section_lut_sweep),
                      ("roofline", section_roofline)]
+    if args.sections:
+        # gate needs throughput16's f32 records; keep the pair together
+        want = set(args.sections.split(","))
+        if "gate" in want:
+            want.add("throughput16")
+        sections = [(n, f) for n, f in sections if n in want]
     for name, fn in sections:
         try:
             t0 = time.perf_counter()
