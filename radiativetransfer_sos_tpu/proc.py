@@ -471,12 +471,32 @@ def run(cfg: SosConfig, trace=None, mesh=None) -> SosResults:
     import os as _os
 
     prof_dir = _os.environ.get("RTSOS_PROFILE")
-    if prof_dir:
-        import jax.profiler as _prof
 
-        ctx = _prof.trace(prof_dir)
-    else:
-        ctx = contextlib.nullcontext()
+    @contextlib.contextmanager
+    def _profiled():
+        import jax.profiler as _prof
+        try:
+            # force backend/plugin registration BEFORE the trace starts:
+            # start_trace's own backend init does not run the out-of-tree
+            # plugin discovery (e.g. the axon remote-TPU tunnel) and would
+            # poison the process with "backend not in the list of known
+            # backends" at the first real computation
+            jax.devices()
+            _prof.start_trace(prof_dir)
+            started = True
+        except Exception as e:  # profiler unavailable — degrade, don't die
+            started = False
+            trace.event("profile", error=str(e)[:120])
+        try:
+            yield
+        finally:
+            if started:
+                try:
+                    _prof.stop_trace()
+                except Exception as e:
+                    trace.event("profile", error=str(e)[:120])
+
+    ctx = _profiled() if prof_dir else contextlib.nullcontext()
     with ctx:
         return _run_traced(cfg, trace, mesh)
 
