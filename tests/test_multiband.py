@@ -177,6 +177,31 @@ def test_sos_run_many_batched_with_surface_matrices():
         np.testing.assert_allclose(r_b.emoins, r_s.emoins, rtol=1e-12)
 
 
+def test_sos_run_many_batched_checkpoint_resume(tmp_path):
+    """batch_cases composes with checkpoint/resume: first run writes one
+    pickle per case, second run loads them all without solving."""
+    from radiativetransfer_sos_tpu import lut
+    from radiativetransfer_sos_tpu.config import SosConfig
+
+    base = SosConfig(wavelength=0.55)
+    base.angles.thetas_deg = 35.0
+    base.angles.nbmu_lum = 8
+    base.surface.alb = 0.1
+    base.absorption.absprofil = 7
+    base.view.itrphi = 1
+    base.view.phi_deg = 0.0
+    base.igmax = 8
+    cases = lut.sweep_configs(base, {"surface.alb": [0.0, 0.2, 0.4]})
+    r1 = lut.sos_run_many(cases, checkpoint_dir=str(tmp_path),
+                          batch_cases=True)
+    assert len(list(tmp_path.glob("*.pkl"))) == 3
+    r2 = lut.sos_run_many(cases, checkpoint_dir=str(tmp_path),
+                          batch_cases=True)
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(np.asarray(a.up["i"]),
+                                      np.asarray(b.up["i"]))
+
+
 def test_multiband_blocked_skips_tail():
     cases, opt = _cases(n_cases=2, n_terms=2, os_nb=64)
     stacked = _stack(cases)
