@@ -26,14 +26,21 @@ from radiativetransfer_sos_tpu import angles, gsf, kernels, solver
 
 
 def _rayleigh_problem(tau, thetas_deg, depol=0.0, n_gauss=24, nt=300,
-                      igmax=1, user_angles_deg=None, rho=0.0):
-    """Homogeneous pure-molecular layer (xdel = 0), Lambertian ground."""
+                      igmax=1, user_angles_deg=None, rho=0.0,
+                      ipolar=True):
+    """Homogeneous pure-molecular layer (xdel = 0), Lambertian ground.
+
+    ``ipolar=False`` builds the SCALAR Rayleigh problem (polarized kernel
+    coefficients cut) — required when comparing against scalar references
+    like the photon Monte Carlo: vector vs scalar Rayleigh radiances
+    differ by a few percent in angular shape at these optical depths
+    (Chandrasekhar 1950; flux nearly unchanged)."""
     grid = angles.make_radiance_grid(thetas_deg, n_gauss=n_gauss,
                                      user_angles_deg=user_angles_deg)
     os_nb = 2                      # Rayleigh is band-limited at L = 2
     psl, rsl, tsl = gsf.gsf_basis(grid.mu, grid.mus, os_nb, os_nb + 1)
     psl, rsl, tsl = (jnp.asarray(a, jnp.float64) for a in (psl, rsl, tsl))
-    k_mol = kernels.molecular_kernel(psl, rsl, tsl, depol)
+    k_mol = kernels.molecular_kernel(psl, rsl, tsl, depol, ipolar=ipolar)
     k_aer = jnp.zeros_like(k_mol)
     h = np.linspace(0.0, tau, nt + 1)
     inp = solver.SolveInputs(
@@ -42,7 +49,7 @@ def _rayleigh_problem(tau, thetas_deg, depol=0.0, n_gauss=24, nt=300,
         mu_pos=jnp.asarray(grid.mu), w_pos=jnp.asarray(grid.w),
         tab=jnp.asarray(grid.mus), n0=grid.imus,
         surface=solver.SurfaceInputs(rho=jnp.asarray(rho)))
-    return inp, solver.SolveOptions(igmax=igmax), grid
+    return inp, solver.SolveOptions(igmax=igmax, ipolar=ipolar), grid
 
 
 def _toa_stokes(res, grid, phi_deg):
@@ -200,8 +207,7 @@ def test_monte_carlo_flux_cross_check():
     tau, theta0 = 0.3, 35.0
     mu0 = float(np.cos(np.radians(theta0)))
     inp, opt, grid = _rayleigh_problem(tau, theta0, depol=0.0, igmax=100,
-                                       nt=300)
-    opt = opt._replace(ipolar=False)
+                                       nt=300, ipolar=False)
     res = solver.solve_fourier_batch_jit(inp, opt)
     eplus, emoins = float(res.eplus[0]), float(res.emoins[0])
 
@@ -214,6 +220,72 @@ def test_monte_carlo_flux_cross_check():
     # the MC's own direct transmission must match exp(-tau/mu0) — anchors
     # the MC implementation itself
     np.testing.assert_allclose(tdir_mc, np.exp(-tau / mu0), atol=4.5e-4)
+
+
+def test_monte_carlo_angular_cross_check():
+    """MC validation of the reflected ANGULAR distribution (azimuth mean):
+    binned photon-escape radiance vs the solver's m = 0 Fourier record.
+    The conversion is pi*mu0 — the Hansen & Travis F0 = 1 radiance
+    convention (incident flux pi*mu0) the closed-form tests pin down."""
+    tau, theta0 = 0.3, 35.0
+    mu0 = float(np.cos(np.radians(theta0)))
+    inp, opt, grid = _rayleigh_problem(tau, theta0, depol=0.0, igmax=100,
+                                       nt=300, ipolar=False)
+    res = solver.solve_fourier_batch_jit(inp, opt)
+    n = grid.mu.shape[0]
+    i0_nodes = np.asarray(res.i3bnd)[0][0, 0, n + 1:]
+    mus = np.asarray(grid.mu)
+
+    n_ph = 1_500_000
+    rng = np.random.default_rng(7)
+    mu = np.full(n_ph, -mu0)
+    z = np.zeros(n_ph)
+    alive = np.ones(n_ph, bool)
+    esc = []
+    for _ in range(300):
+        idx = np.nonzero(alive)[0]
+        if idx.size == 0:
+            break
+        t = rng.exponential(size=idx.size)
+        z_new = z[idx] + t * (-mu[idx])
+        up = (mu[idx] > 0) & (z_new < 0)
+        dn = (mu[idx] < 0) & (z_new > tau)
+        esc.append(mu[idx[up]])
+        alive[idx[up | dn]] = False
+        stay = idx[~(up | dn)]
+        z[stay] = z_new[~(up | dn)]
+        m = stay.shape[0]
+        c = np.empty(m)
+        need = np.ones(m, bool)
+        while need.any():
+            k = int(need.sum())
+            cand = rng.uniform(-1, 1, k)
+            acc = rng.uniform(0, 1, k) < (1 + cand ** 2) / 2.0
+            pos = np.nonzero(need)[0][acc]
+            c[pos] = cand[acc]
+            need[pos] = False
+        phi = rng.uniform(0, 2 * np.pi, m)
+        mo = mu[stay]
+        so = np.sqrt(np.maximum(0.0, 1 - mo ** 2))
+        mu[stay] = mo * c + so * np.sqrt(
+            np.maximum(0.0, 1 - c ** 2)) * np.cos(phi)
+    esc = np.concatenate(esc)
+
+    edges = np.linspace(0.1, 0.99, 7)
+    cnt, _ = np.histogram(esc, bins=edges)
+    # expected escape fraction per bin from the solver's radiance:
+    # (2/mu0) * int_bin I(mu) mu dmu  (F0 = 1 convention, incident flux
+    # pi*mu0; matches the EMOINS/EPLUS quadrature in solver.py)
+    expect = np.empty(cnt.shape)
+    for b in range(edges.size - 1):
+        mg = np.linspace(edges[b], edges[b + 1], 200)
+        ig = np.interp(mg, mus[::-1], i0_nodes[::-1])
+        expect[b] = 2.0 / mu0 * np.trapezoid(ig * mg, mg)
+    got = cnt / n_ph
+    sig = np.sqrt(np.maximum(cnt, 1.0)) / n_ph
+    # 5-sigma Poisson per bin + 0.5% floor for node interpolation
+    assert np.all(np.abs(got - expect) < 5.0 * sig + 0.005 * expect), \
+        list(zip(edges[:-1], got, expect, sig))
 
 
 def test_helmholtz_reciprocity():
