@@ -10,8 +10,12 @@ either implementation:
   (Hansen & Travis 1974, eq. 65; Chandrasekhar 1950 §X for the
   depolarization-corrected phase function),
 - 100% single-scattering polarization at a 90-degree scattering angle,
+- the Lambertian direct-reflection boundary term (Chandrasekhar §72),
 - energy conservation for a conservative atmosphere over a black surface,
-- Helmholtz reciprocity of the emergent reflected radiance.
+- Helmholtz reciprocity of the emergent reflected radiance,
+- a photon Monte Carlo (independent stochastic-transport algorithm):
+  multiple-scattering flux fractions to ~0.1 sigma and the reflected
+  angular distribution to 5-sigma Poisson gates.
 
 The solver cannot satisfy any of these by construction: the GSF kernel
 chain, the primary source, the sweep integrator, the multiple-scattering
