@@ -164,6 +164,9 @@ def _run_batched(cfg_list, pending, store, trace) -> None:
         for g0 in range(0, len(members), per_dispatch):
             sub = members[g0:g0 + per_dispatch]
             res_mb = _solve_group([preps[i] for i in sub], t_max)
+            # ONE device->host transfer for the whole group: per-case
+            # fetches through a remote-TPU tunnel cost a round trip each
+            res_mb = jax.device_get(res_mb)
             for c, i in enumerate(sub):
                 p = preps[i]
                 res_c = jax.tree_util.tree_map(

@@ -871,9 +871,16 @@ def finish_case(prep: PreparedCase, res, trace=None) -> SosResults:
     # --- aggregation (C18): AIK-weighted contraction over the batch axis.
     # One vmapped stop-mask call for the whole term batch: at a real 1 cm^-1
     # CKD product (hundreds-thousands of terms) a per-term host loop here
-    # would put thousands of dispatches on the output path
+    # would put thousands of dispatches on the output path.  The records
+    # are pulled to the host first and the tiny mask computed on the CPU
+    # backend: through a remote-TPU tunnel, dispatching it to the
+    # accelerator costs a ~50-100 ms round trip per finished case — the
+    # dominant cost of a batched LUT sweep's output path (profiled r4)
     i3z = np.asarray(res.i3z)               # (terms, S, 3, D)
-    mask = np.asarray(jax.vmap(solver.fourier_stop_mask)(res.i3bnd))
+    i3bnd_h = np.asarray(res.i3bnd)
+    with jax.default_device(jax.devices("cpu")[0]):
+        mask = np.asarray(jax.vmap(solver.fourier_stop_mask)(
+            jnp.asarray(i3bnd_h)))
     recs = np.einsum("t,ts,tscd->scd", aik, mask.astype(np.float64), i3z)
     emoins = float(aik @ np.asarray(res.emoins).reshape(n_terms))
     eplus = float(aik @ np.asarray(res.eplus).reshape(n_terms))
