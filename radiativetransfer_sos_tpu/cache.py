@@ -86,15 +86,21 @@ def memo(prefix: str, params: dict,
         return compute()
     digest = hashlib.sha1(_canonical(params).encode()).hexdigest()[:20]
     mkey = (prefix, digest)
+
+    def fresh(out):
+        # callers have always received freshly-loaded arrays they may
+        # mutate; hand out copies so the memory layer stays pristine
+        return {k: np.array(v) for k, v in out.items()}
+
     if mkey in _MEM:
         _STATS["hits"] += 1
-        return _MEM[mkey]
+        return fresh(_MEM[mkey])
 
     def keep(out):
         if len(_MEM) >= _MEM_MAX:
             _MEM.pop(next(iter(_MEM)))
         _MEM[mkey] = out
-        return out
+        return fresh(out)
 
     path = os.path.join(d, f"{prefix}_{digest}.npz")
     if os.path.exists(path):
