@@ -165,6 +165,18 @@ def section_scale512(out, n_big=512):
     run_big()
     cold = time.perf_counter() - t0
     dt_big = _timeit(run_big, n_iter=1, warmup=0)
+
+    # 4x beyond single-dispatch HBM capacity: the chunk loop must sustain
+    # the same throughput (same executable, 4 chunks of 512)
+    n_xl = 2048
+    prob_xl = precision.demo_problem(jnp.float32, n_terms=n_xl)
+
+    def run_xl():
+        res = solver.solve_fourier_blocked_chunked(prob_xl.inp,
+                                                   prob_xl.opt)
+        np.asarray(res.emoins)
+
+    dt_xl = _timeit(run_xl, n_iter=1, warmup=1)
     sec = {
         "terms_per_s": round(n_big / dt_big, 1),
         "n_terms": n_big,
@@ -173,6 +185,7 @@ def section_scale512(out, n_big=512):
             block, term_chunk, prob_big.inp.h.shape[1] - 1,
             prob_big.inp.mu_pos.shape[0]) / 1e9, 2),
         "compile_s": round(cold - dt_big, 1),
+        "terms_per_s_at_2048": round(n_xl / dt_xl, 1),
     }
     out["scale512"] = sec
     _emit("scale512", sec)
