@@ -129,7 +129,7 @@ def config_from_keywords(kw: dict) -> SosConfig:
     a.mm.lnd_radius = pop_f("-AER.MMD.LNDradius")
     a.mm.lnd_var = pop_f("-AER.MMD.LNDvar")
     a.mm.junge_slope = pop_f("-AER.MMD.JD.slope")
-    a.mm.junge_rmin = pop_f("-AER.MMD.JD.rmin", 1.0e-3)
+    a.mm.junge_rmin = pop_f("-AER.MMD.JD.rmin")
     a.mm.junge_rmax = pop_f("-AER.MMD.JD.rmax", cte.DEFAULT_AER_JUNGE_RMAX)
     a.wmo_model = pop_i("-AER.WMO.Model")
     a.wmo_dl = pop_f("-AER.WMO.DL")

@@ -40,7 +40,9 @@ class MonoModalAerosol:
     lnd_radius: float = UNSET        # -AER.MMD.LNDradius (microns)
     lnd_var: float = UNSET           # -AER.MMD.LNDvar (ln sigma)
     junge_slope: float = UNSET       # -AER.MMD.JD.slope
-    junge_rmin: float = 1.0e-3       # covered by the alpha sweep lower bound
+    junge_rmin: float = UNSET        # -AER.MMD.JD.rmin: plateau radius R0
+    #   (NR = R0^-nu for r <= R0); mandatory for the Junge model like the
+    #   reference (src/SOS_PROC.F:1694-1697 -> error 23132)
     junge_rmax: float = cte.DEFAULT_AER_JUNGE_RMAX
     mr_wa: float = UNSET             # -AER.MMD.MRwa  (real index at wa)
     mi_wa: float = UNSET             # -AER.MMD.MIwa
@@ -223,8 +225,10 @@ class SosConfig:
                 if mm.sdtype == 1 and (mm.lnd_radius == UNSET
                                        or mm.lnd_var == UNSET):
                     err(2313, "LND radius/variance required")
-                if mm.sdtype == 2 and mm.junge_slope == UNSET:
-                    err(2314, "Junge slope required")
+                if mm.sdtype == 2 and (mm.junge_slope == UNSET
+                                       or mm.junge_rmin == UNSET):
+                    err(2314, "Junge slope and rmin required "
+                        "(-AER.MMD.JD.slope / -AER.MMD.JD.rmin)")
                 if (aer.waref != UNSET
                         and abs(aer.waref - self.wavelength) > 1e-9
                         and (mm.mr_waref == UNSET or mm.mi_waref == UNSET)):

@@ -71,7 +71,9 @@ def sos_run_many(cfgs: Iterable[SosConfig], mesh=None,
 
     With ``checkpoint_dir``, each finished case is pickled under its
     content hash and skipped when re-running the same sweep (coarse
-    resume).  ``on_result(i, cfg, res)`` streams results as they finish.
+    resume).  ``on_result(i, cfg, res)`` streams results as they finish —
+    in the batched path groups complete together, so indices may arrive
+    out of order; checkpoint-loaded cases are delivered up front.
 
     ``batch_cases=True`` solves compatible cases in ONE multiband device
     dispatch (``solver.solve_fourier_multiband``) instead of
@@ -94,6 +96,8 @@ def sos_run_many(cfgs: Iterable[SosConfig], mesh=None,
             if os.path.exists(paths[i]):
                 with open(paths[i], "rb") as f:
                     out[i] = pickle.load(f)
+                if on_result:
+                    on_result(i, cfg, out[i])
                 continue
         pending.append(i)
 
@@ -104,15 +108,14 @@ def sos_run_many(cfgs: Iterable[SosConfig], mesh=None,
                 pickle.dump(res, f)
             os.replace(tmp, paths[i])      # atomic, like the mv of C18
         out[i] = res
+        if on_result:
+            on_result(i, cfg_list[i], res)
 
     if batch_cases and mesh is None and len(pending) > 1:
         _run_batched(cfg_list, pending, _store, trace)
     else:
         for i in pending:
             _store(i, sos_run(cfg_list[i], trace=trace, mesh=mesh))
-    if on_result:
-        for i, cfg in enumerate(cfg_list):
-            on_result(i, cfg, out[i])
     return out
 
 
@@ -160,6 +163,16 @@ def _run_batched(cfg_list, pending, store, trace) -> None:
             len(members) * t_max, n_s, nt, p0.mu_pos.shape[0],
             use_zout=preps[members[0]].use_zout,
             imat_surf=preps[members[0]].opt.imat_surf)
+        if t_max > chunk:
+            # per-case term counts exceed the planned chunk: a stacked
+            # multiband dispatch would carry t_max unchunked terms — route
+            # through the per-case dispatcher, whose blocked-chunked path
+            # is planner-guarded (dispatch_case -> memplan)
+            for i in members:
+                p = preps[i]
+                res = dispatch_case(p, trace)
+                store(i, trphi_option(p.cfg, finish_case(p, res, trace)))
+            continue
         per_dispatch = max(1, chunk // t_max)
         for g0 in range(0, len(members), per_dispatch):
             sub = members[g0:g0 + per_dispatch]
@@ -222,6 +235,16 @@ def _solve_group(preps, t_max):
     opt = preps[0].opt
     c_n, t_n = len(preps), t_max
     n_s = stacked.k_aer.shape[1]
-    if n_s > 24 and c_n * t_n * n_s >= 1024:
-        return solver.solve_fourier_multiband_blocked(stacked, opt)
-    return solver.solve_fourier_multiband_jit(stacked, opt)
+    if n_s <= 24 or c_n * t_n * n_s < 1024:
+        # the all-orders dispatch is latency-optimal for small grids, but
+        # its live set is block=n_s — validate the ACTUAL shape against
+        # the memory budget before taking it (advisor r4: 16<n_s<=24 at a
+        # full chunk could exceed the planner's block<=16 estimate)
+        from . import memplan
+        est = memplan.estimate_bytes(
+            n_s, c_n * t_n, stacked.h.shape[-1] - 1,
+            stacked.mu_pos.shape[0], use_zout=preps[0].use_zout,
+            imat_surf=opt.imat_surf)
+        if est <= memplan.budget_bytes(memplan.device_hbm()):
+            return solver.solve_fourier_multiband_jit(stacked, opt)
+    return solver.solve_fourier_multiband_blocked(stacked, opt)

@@ -8,14 +8,18 @@ bisection work unsuited to XLA; at large term counts the Python twin in
 
 The shared library is built on demand with ``g++ -O3`` into
 ``$RTSOS_NATIVE_DIR`` (default: alongside this file, falling back to a
-temp dir when the package is read-only) and rebuilt whenever the source is
-newer.  Absence of a toolchain degrades gracefully to the Python
-implementation — :func:`available` gates every use.
+temp dir when the package is read-only).  The artifact name embeds a
+content hash of ``profil.cc`` so an edited source can never silently pair
+with a stale binary, and a binary from a different source revision is
+simply rebuilt.  Absence of a toolchain — or a binary that fails to load
+on this platform — degrades gracefully to the Python implementation;
+:func:`available` gates every use.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import tempfile
@@ -57,20 +61,23 @@ def _so_path() -> str:
     if not os.access(d, os.W_OK):
         d = os.path.join(tempfile.gettempdir(), "rtsos_native")
         os.makedirs(d, exist_ok=True)
-    return os.path.join(d, "libprofil.so")
+    # Content-hashed artifact name: an edit to profil.cc changes the path,
+    # so a stale binary can never be picked up by accident.
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(d, f"libprofil-{tag}.so")
 
 
 def _build() -> Optional[str]:
     so = _so_path()
-    if (os.path.exists(so)
-            and os.path.getmtime(so) >= os.path.getmtime(_SRC)):
+    if os.path.exists(so):
         return so
     try:
         subprocess.run(["g++", "-O3", "-shared", "-fPIC", _SRC, "-o",
                         so + ".tmp"], check=True, capture_output=True)
         os.replace(so + ".tmp", so)
         return so
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
         return None
 
 
@@ -84,7 +91,11 @@ def _load() -> Optional[ctypes.CDLL]:
     so = _build()
     if so is None:
         return None
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        # unloadable on this platform (wrong arch/glibc) — Python fallback
+        return None
     dp = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
     ip = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
     lib.rtsos_exp_profile.restype = ctypes.c_int

@@ -57,13 +57,20 @@ def init_distributed() -> bool:
     if not addr:
         return False
     kwargs = {}
-    if os.environ.get("JAX_NUM_PROCESSES"):
+    n_proc = os.environ.get("JAX_NUM_PROCESSES")
+    proc_id = os.environ.get("JAX_PROCESS_ID")
+    if (n_proc is None) != (proc_id is None):
+        raise ValueError(
+            "JAX_NUM_PROCESSES and JAX_PROCESS_ID must be set together "
+            f"(got NUM_PROCESSES={n_proc!r}, PROCESS_ID={proc_id!r}); "
+            "unset both to use JAX cluster auto-detection")
+    if n_proc is not None:
         # explicit manual-cluster layout (e.g. the 2-process CPU smoke
         # test, tests/test_distributed.py); without these JAX falls back
         # to its cluster auto-detection (Slurm / GKE / TPU metadata)
         kwargs = dict(coordinator_address=addr,
-                      num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-                      process_id=int(os.environ["JAX_PROCESS_ID"]))
+                      num_processes=int(n_proc),
+                      process_id=int(proc_id))
     jax.distributed.initialize(**kwargs)
     return True
 

@@ -121,7 +121,8 @@ def _phase_matrix_mono(mm, mie_grid, wavelength, at_ref: bool):
             / wavelength
         alpha_max = min(alpha_max, cte.ALPHAMAX_WMO_DL)
     else:
-        igranu, v1, v2, v3 = 2, 0.1, mm.junge_slope, mm.junge_rmax
+        # VARGRANU1 = JD_RMIN (Junge plateau radius, src/SOS_PROC.F:1697)
+        igranu, v1, v2, v3 = 2, mm.junge_rmin, mm.junge_slope, mm.junge_rmax
         alpha_max = 2.0 * np.pi * mm.junge_rmax / wavelength
     mie = run_mie_sweep(_signed_mu(mie_grid), mr, mi, cte.MIE_ALPHAMIN,
                         float(alpha_max))
@@ -327,7 +328,9 @@ class SosResults:
     ``binding/run_sos.py:636-695``)."""
     grid: angles_mod.RadianceGrid
     records_up: np.ndarray       # (S, 3, D) aggregated Fourier Stokes, ZOUT up
-    records_down: np.ndarray     # same field (signed axis holds both)
+    records_down: np.ndarray     # same values (signed axis holds both
+    #   hemispheres, ``src/SOS_OS.F:1571-1575``) but an independent array:
+    #   consumers may mutate one view without corrupting the other
     ttot_tronc: float            # truncated total optical depth
     ttot_vrai: float             # true total optical depth
     tauout: float                # optical depth of the output level
@@ -902,7 +905,7 @@ def finish_case(prep: PreparedCase, res, trace=None) -> SosResults:
                                               k_mol, aik, cfg.igmax,
                                               cfg.ipolar)
 
-    return SosResults(grid=lum, records_up=recs, records_down=recs,
+    return SosResults(grid=lum, records_up=recs, records_down=recs.copy(),
                       ttot_tronc=float(ttot_tronc),
                       ttot_vrai=float(ttot_vrai), tauout=tauout,
                       emoins=emoins, eplus=eplus,

@@ -80,7 +80,9 @@ def on_tpu() -> bool:
     """
     dev = jax.config.jax_default_device
     if dev is not None:
-        return dev.platform == "tpu"
+        # jax_default_device may hold a Device or a platform string
+        platform = dev if isinstance(dev, str) else dev.platform
+        return platform.startswith("tpu")
     return jax.default_backend() == "tpu"
 
 

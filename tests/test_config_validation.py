@@ -73,6 +73,17 @@ def test_monomodal_requirements():
     cfg.aerosols.mm.lnd_radius = 0.1
     cfg.aerosols.mm.lnd_var = 0.4
     cfg.validate()
+    # Junge model: slope AND rmin are mandatory like the reference
+    # (src/SOS_PROC.F:1692-1697, error exit 23132)
+    cfg.aerosols.mm.sdtype = 2
+    with pytest.raises(ValueError, match="2314"):
+        cfg.validate()
+    cfg.aerosols.mm.junge_slope = 3.0
+    with pytest.raises(ValueError, match="2314"):
+        cfg.validate()                     # rmin still missing
+    cfg.aerosols.mm.junge_rmin = 0.1
+    cfg.validate()
+    cfg.aerosols.mm.sdtype = 1
     # waref != wa needs the waref indices
     cfg.aerosols.waref = 0.550
     cfg.wavelength = 0.675

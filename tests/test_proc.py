@@ -119,3 +119,42 @@ def test_glitter_direct_peak():
     # near the specular direction (theta ~ thetas) the glint dominates
     j = np.argmin(np.abs(res.theta - 35.0))
     assert i_spec[j] > 2.0 * i_anti[j]
+
+
+def test_records_down_not_aliased():
+    """records_up and records_down are independent arrays (advisor r4:
+    mutating one must not corrupt the other)."""
+    res = proc.run(_rayleigh_cfg())
+    assert res.records_up is not res.records_down
+    np.testing.assert_array_equal(res.records_up, res.records_down)
+    res.records_down[...] = -1.0
+    assert not np.array_equal(res.records_up, res.records_down)
+
+
+def test_junge_rmin_honored(monkeypatch):
+    """-AER.MMD.JD.rmin reaches the size distribution (VERDICT r4: the
+    keyword was parsed and silently dropped, Junge R0 hardcoded to 0.1)."""
+    from radiativetransfer_sos_tpu import angles as angles_mod
+    from radiativetransfer_sos_tpu import mie as mie_mod
+    from radiativetransfer_sos_tpu.config import MonoModalAerosol
+
+    grid = angles_mod.make_mie_grid(8)
+    d = 2 * 8 + 1
+    alpha = np.linspace(0.5, 60.0, 200)
+
+    def fake_sweep(mu, mr, mi, amin, amax):
+        ones = np.ones((alpha.size, d))
+        return mie_mod.MieResult(alpha=alpha, qext=np.full(alpha.size, 2.0),
+                                 qsca=np.ones(alpha.size),
+                                 g=np.zeros(alpha.size), imie=ones,
+                                 qmie=0.1 * ones, umie=0.1 * ones)
+
+    monkeypatch.setattr(proc, "run_mie_sweep", fake_sweep)
+    mk = lambda rmin: MonoModalAerosol(sdtype=2, junge_slope=3.0,
+                                       junge_rmin=rmin, junge_rmax=5.0,
+                                       mr_wa=1.44, mi_wa=-0.005)
+    pm_a = proc._phase_matrix_mono(mk(0.05), grid, 0.55, False)
+    pm_b = proc._phase_matrix_mono(mk(0.5), grid, 0.55, False)
+    # a larger plateau radius weights large particles more: different
+    # mean cross sections
+    assert abs(pm_a.sigma_ext - pm_b.sigma_ext) > 1e-6
