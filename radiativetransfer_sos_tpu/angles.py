@@ -116,18 +116,34 @@ def make_mie_grid(n_gauss: int | None = None,
 
 def make_radiance_grid(thetas_deg: float,
                        n_gauss: int | None = None,
-                       user_angles_deg: np.ndarray | None = None) -> RadianceGrid:
+                       user_angles_deg: np.ndarray | None = None,
+                       inject_solar: bool = True) -> RadianceGrid:
     """Radiance angle grid with solar angle injected, sorted by decreasing mu.
 
     Reference: ``SOS_ANGLES`` ``src/SOS_ANGLES.F:370-466`` — the solar cosine
     is matched against existing angles within ``CTE_SEUIL_ECART_MUS``
     (``inc/SOS.h:561``); when absent it is inserted (weight 0) preserving the
     descending order.
+
+    ``inject_solar=False`` (config ``angles.solar_in_grid = False``) keeps
+    the grid independent of the sun geometry: the solar direction enters
+    the solve only through the kernels' dedicated center slot
+    (``gsf.gsf_basis`` ``mus`` argument, the reference's RMU(0),
+    ``src/SOS_OS.F:706-715``), ``tab`` and the surface solar column.  The
+    solar slot of the injected grid carries weight 0 and exists only as a
+    view direction (``src/SOS_ANGLES.F:370-466``), so removing it changes
+    no quadrature — it makes a theta_s sweep share ONE grid and therefore
+    ONE multiband dispatch (``lut.sos_run_many(batch_cases=True)``).
+    ``imus = -1`` flags the mode downstream.
     """
     if n_gauss is None:
         n_gauss = cte.DEFAULT_NBMU_LUM
     mu, w = gauss_positive_nodes(n_gauss)
     mu, w, is_user = _merge_user(mu, w, user_angles_deg, descending=True)
+
+    if not inject_solar:
+        return RadianceGrid(mu=mu, w=w, is_user=is_user, n_gauss=n_gauss,
+                            imus=-1, thetas_deg=float(thetas_deg))
 
     xmus = float(np.cos(np.radians(thetas_deg)))
     close = np.abs(mu - xmus) < cte.SEUIL_ECART_MUS

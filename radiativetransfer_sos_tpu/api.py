@@ -109,6 +109,10 @@ def config_from_keywords(kw: dict) -> SosConfig:
     cfg.angles.nbmu_lum = pop_i("-ANG.Rad.NbGauss", cte.DEFAULT_NBMU_LUM)
     cfg.angles.nbmu_mie = pop_i("-ANG.Aer.NbGauss", cte.DEFAULT_NBMU_MIE)
     cfg.angles.thetas_deg = pop_f("-ANG.Thetas", 0.0)
+    # framework extension (no reference equivalent): 0 decouples the sun
+    # geometry from the radiance grid so theta_s sweeps batch into one
+    # multiband dispatch (AngleConfig.solar_in_grid)
+    cfg.angles.solar_in_grid = bool(pop_i("-ANG.SolarInGrid", 1))
     p = pop_s("-ANG.Rad.UserAngFile")
     if p:
         cfg.angles.user_rad_deg = load_angle_file(p)

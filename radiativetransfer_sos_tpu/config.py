@@ -31,6 +31,13 @@ class AngleConfig:
     user_rad_deg: np.ndarray | None = None   # -ANG.Rad.UserAngFile content
     user_mie_deg: np.ndarray | None = None   # -ANG.Aer.UserAngFile content
     thetas_deg: float = 0.0                  # -ANG.Thetas
+    # True (reference parity): inject the solar zenith angle into the
+    # radiance grid as a weight-0 view direction (src/SOS_ANGLES.F:370-466).
+    # False: keep the grid sun-independent so a theta_s sweep shares one
+    # static grid and batches into ONE multiband dispatch (the solar
+    # direction then enters only through the kernel center slot, tab and
+    # the surface solar column — angles.make_radiance_grid docstring)
+    solar_in_grid: bool = True
 
 
 @dataclass
@@ -294,6 +301,10 @@ class SosConfig:
             err(2402, "surface albedo must be >= 0")
         if s.type not in range(8):
             err(2404, f"unknown surface type {s.type}")
+        if s.type == 2 and not self.angles.solar_in_grid:
+            err(2412, "the flat-sea specular sun term (src/SOS_TRPHI.F:"
+                "1008-1039) needs the solar view slot: ISURF=2 requires "
+                "angles.solar_in_grid=True")
         if s.type in (1, 2, 4, 5, 6, 7) and s.ind == UNSET:
             err(2405, "surface refractive index -SURF.Ind required for "
                 f"ISURF {s.type}")

@@ -141,8 +141,8 @@ def _run_batched(cfg_list, pending, store, trace) -> None:
                 np.asarray(i.mu_pos).tobytes(),
                 np.asarray(i.w_pos).tobytes(),
                 s.rmat is None, s.f11 is None, s.f12 is None,
-                s.f33 is None, s.ind_surf is None, p.use_zout,
-                str(i.h.dtype))
+                s.f33 is None, s.ind_surf is None, s.rmat_sun is None,
+                p.use_zout, str(i.h.dtype))
 
     groups: dict = {}
     for i in pending:
@@ -221,7 +221,8 @@ def _solve_group(preps, t_max):
         f11=stack(lambda i: i.surface.f11),
         f12=stack(lambda i: i.surface.f12),
         f33=stack(lambda i: i.surface.f33),
-        ind_surf=stack(lambda i: i.surface.ind_surf))
+        ind_surf=stack(lambda i: i.surface.ind_surf),
+        rmat_sun=stack(lambda i: i.surface.rmat_sun))
     stacked = c0._replace(
         h=jnp.stack([pad_t(i.h) for i in inps]),
         xdel=jnp.stack([pad_t(i.xdel) for i in inps]),

@@ -93,6 +93,7 @@ def shard_solve_inputs(mesh: Mesh, inp: solver.SolveInputs,
     surf = inp.surface._replace(
         rho=put(inp.surface.rho, b),
         rmat=put(inp.surface.rmat, b + ("fourier",)),
+        rmat_sun=put(inp.surface.rmat_sun, b + ("fourier",)),
         f11=put(inp.surface.f11, b), f12=put(inp.surface.f12, b),
         f33=put(inp.surface.f33, b))
     return inp._replace(
@@ -205,7 +206,9 @@ def solve_terms_sharded(mesh: Mesh, inp: solver.SolveInputs,
         is0 = jnp.zeros((n_sp,), dtype=inp.h.dtype).at[0].set(1.0)
     inp = inp._replace(
         k_aer=pad_s(inp.k_aer), k_mol=pad_s(inp.k_mol),
-        surface=inp.surface._replace(rmat=pad_s(inp.surface.rmat)),
+        surface=inp.surface._replace(
+            rmat=pad_s(inp.surface.rmat),
+            rmat_sun=pad_s(inp.surface.rmat_sun)),
         is0=is0)
 
     n0 = inp.n0
@@ -213,7 +216,7 @@ def solve_terms_sharded(mesh: Mesh, inp: solver.SolveInputs,
              inp.surface.f12 is None, inp.surface.f33 is None,
              inp.surface.ind_surf is None, inp.zprof is None,
              inp.zout_km is None, jnp.ndim(inp.tab) == 1,
-             inp.n0_col is None)
+             inp.n0_col is None, inp.surface.rmat_sun is None)
     fn = _sharded_solver(mesh, opt, n0, flags, n_fourier > 1)
     res = fn(inp._replace(n0=None))
     if n_sp != n_s:   # drop the zero-padded orders
@@ -267,7 +270,8 @@ def solve_multiband_sharded(mesh: Mesh, inp: solver.SolveInputs,
     flags = (inp.surface.rmat is None, inp.surface.f11 is None,
              inp.surface.f12 is None, inp.surface.f33 is None,
              inp.surface.ind_surf is None, inp.zprof is None,
-             inp.zout_km is None, inp.n0_col is None)
+             inp.zout_km is None, inp.n0_col is None,
+             inp.surface.rmat_sun is None)
     fn = _sharded_multiband_solver(mesh, opt, n0, flags)
     return fn(inp._replace(n0=None))
 
@@ -275,7 +279,7 @@ def solve_multiband_sharded(mesh: Mesh, inp: solver.SolveInputs,
 @_functools.lru_cache(maxsize=None)
 def _sharded_multiband_solver(mesh, opt, n0, flags):
     (no_rmat, no_f11, no_f12, no_f33, no_ind, no_zprof, no_zout,
-     no_n0col) = flags
+     no_n0col, no_rmat_sun) = flags
     from jax.sharding import PartitionSpec as P
 
     case = P("scene")            # every per-case array shards on axis 0
@@ -288,7 +292,8 @@ def _sharded_multiband_solver(mesh, opt, n0, flags):
         f11=None if no_f11 else case_n,
         f12=None if no_f12 else case_n,
         f33=None if no_f33 else case_n,
-        ind_surf=None if no_ind else case)
+        ind_surf=None if no_ind else case,
+        rmat_sun=None if no_rmat_sun else case_n)
     in_specs = solver.SolveInputs(
         h=case_n, xdel=case_n, ydel=case_n,
         k_aer=case_n, k_mol=case_n, mu_pos=rep, w_pos=rep,
@@ -313,7 +318,7 @@ def _sharded_multiband_solver(mesh, opt, n0, flags):
 def _sharded_solver(mesh, opt, n0, flags, shard_fourier):
     """Jitted shard_map solver, cached on (mesh, options, input structure)."""
     (no_rmat, no_f11, no_f12, no_f33, no_ind, no_zprof, no_zout,
-     tab_batched, no_n0col) = flags
+     tab_batched, no_n0col, no_rmat_sun) = flags
     from jax.sharding import PartitionSpec as P
 
     four = "fourier" if shard_fourier else None
@@ -329,7 +334,8 @@ def _sharded_solver(mesh, opt, n0, flags, shard_fourier):
         f11=None if no_f11 else rep,
         f12=None if no_f12 else rep,
         f33=None if no_f33 else rep,
-        ind_surf=None if no_ind else rep)
+        ind_surf=None if no_ind else rep,
+        rmat_sun=None if no_rmat_sun else k_spec)
     in_specs = solver.SolveInputs(
         h=term_l, xdel=term_l, ydel=term_l,
         k_aer=k_spec, k_mol=k_spec, mu_pos=rep, w_pos=rep,

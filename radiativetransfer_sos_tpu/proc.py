@@ -250,9 +250,21 @@ def aerosol_properties(cfg: SosConfig, mie_grid):
 # Surface matrices per ISURF
 # ---------------------------------------------------------------------------
 
-def surface_matrices(cfg: SosConfig, grid) -> Optional[np.ndarray]:
+def surface_matrices(cfg: SosConfig, grid
+                     ) -> tuple[Optional[np.ndarray], Optional[np.ndarray]]:
     """The Fourier reflection-matrix product of ``SOS_SURFACE``
-    (``src/SOS_SURFACE.F:341``); None when ISURF has no matrix.
+    (``src/SOS_SURFACE.F:341``): ``(rmat, rmat_sun)``, both None when
+    ISURF has no matrix.
+
+    With the solar angle injected into the grid (reference parity,
+    ``grid.imus >= 0``) the matrices cover the grid pairs and
+    ``rmat_sun`` is None — the solver gathers the solar column at
+    ``n0``.  In decoupled mode (``angles.solar_in_grid = False``) the
+    pair set is extended by the solar angle as a weight-0 slot — exactly
+    how the reference's injected slot participates
+    (``src/SOS_ANGLES.F:370-466``) — and the solar incidence row is
+    returned apart as ``rmat_sun`` (S, 3, N) while ``rmat`` keeps the
+    sun-independent (N, N) block.
 
     Memoized through the product cache with every generating parameter in
     the key — the array equivalent of the reference's parameter-encoded
@@ -263,30 +275,44 @@ def surface_matrices(cfg: SosConfig, grid) -> Optional[np.ndarray]:
     os_nb, os_ns, os_nm = angles_mod.expansion_orders(cfg.angles.nbmu_mie,
                                                       cfg.angles.nbmu_lum)
     if s.type not in (1, 3, 4, 5, 6, 7):
-        return None
+        return None, None
+
+    decoupled = getattr(grid, "imus", 0) < 0
+    if decoupled:
+        xmus = float(np.cos(np.radians(grid.thetas_deg)))
+        mu = np.concatenate([np.asarray(grid.mu), [xmus]])
+        w = np.concatenate([np.asarray(grid.w), [0.0]])
+    else:
+        mu, w = grid.mu, grid.w
 
     def compute():
         if s.type == 1:
-            rmat = glitter_matrices(grid.mu, grid.w, s.wind, s.ind,
+            rmat = glitter_matrices(mu, w, s.wind, s.ind,
                                     os_nb, os_ns, os_nm)
         elif s.type == 3:
-            rmat = roujean_matrices(grid.mu, s.k0, s.k1, s.k2, os_nb)
+            rmat = roujean_matrices(mu, s.k0, s.k1, s.k2, os_nb)
         else:
             model = {4: "rondeaux", 5: "breon", 6: "nadal",
                      7: "maignan"}[s.type]
-            rmat = bpdf_matrices(model, grid.mu, grid.w, s.ind, os_nb,
+            rmat = bpdf_matrices(model, mu, w, s.ind, os_nb,
                                  os_ns, os_nm, k0=s.k0, k1=s.k1, k2=s.k2,
                                  alpha=s.alpha_nadal, beta=s.beta_nadal,
                                  coef_c=s.coef_c_maignan)
         return {"rmat": np.asarray(rmat)}
 
     from .cache import memo
-    params = dict(isurf=s.type, mu=np.asarray(grid.mu), wind=s.wind,
+    params = dict(isurf=s.type, mu=np.asarray(mu), wind=s.wind,
                   ind=s.ind, k0=s.k0, k1=s.k1, k2=s.k2,
                   alpha=s.alpha_nadal, beta=s.beta_nadal,
                   coef_c=s.coef_c_maignan, os_nb=os_nb, os_ns=os_ns,
                   os_nm=os_nm)
-    return memo("surf", params, compute)["rmat"]
+    rmat = memo("surf", params, compute)["rmat"]
+    if not decoupled:
+        return rmat, None
+    n = grid.mu.shape[0]
+    # rmat[s, so, si, incident, outgoing]: solar incidence row, unpolarized
+    # direct beam (si = 0) -> the n0 column of src/SOS_OS.F:970-992
+    return rmat[..., :n, :n], np.ascontiguousarray(rmat[:, :, 0, n, :n])
 
 
 # ---------------------------------------------------------------------------
@@ -549,9 +575,10 @@ def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
 
     # --- angle grids (C4)
     with trace.stage("angles"):
-        lum = angles_mod.make_radiance_grid(cfg.angles.thetas_deg,
-                                            cfg.angles.nbmu_lum,
-                                            cfg.angles.user_rad_deg)
+        lum = angles_mod.make_radiance_grid(
+            cfg.angles.thetas_deg, cfg.angles.nbmu_lum,
+            cfg.angles.user_rad_deg,
+            inject_solar=cfg.angles.solar_in_grid)
         mie_grid = angles_mod.make_mie_grid(cfg.angles.nbmu_mie,
                                             cfg.angles.user_mie_deg)
         os_nb, os_ns, os_nm = angles_mod.expansion_orders(
@@ -616,14 +643,17 @@ def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
     with trace.stage("surface"):
         import os as _os
         surf_file = io.get("-SURF.File")
-        if surf_file and _os.path.exists(surf_file):
+        rmat_sun = None
+        if surf_file and _os.path.exists(surf_file) and lum.imus >= 0:
             # explicit surface-matrix file named by the user: read it back
             # instead of recomputing (the reference's existence check,
-            # src/SOS_SURFACE.F:585-603)
+            # src/SOS_SURFACE.F:585-603).  Decoupled-sun grids bypass the
+            # file (it cannot carry the separate solar column) and rely on
+            # the product cache instead.
             rmat = products.read_surface_bin(surf_file, lum.mu.shape[0])
         else:
-            rmat = surface_matrices(cfg, lum)
-            if surf_file and rmat is not None:
+            rmat, rmat_sun = surface_matrices(cfg, lum)
+            if surf_file and rmat is not None and lum.imus >= 0:
                 products.write_surface_bin(surf_file, rmat)
     if "-SURF.Log" in io:
         s_ = cfg.surface
@@ -746,7 +776,9 @@ def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
         rmat=None if rmat is None else jnp.asarray(rmat[: iborm + 1]),
         f11=jnp.asarray(f11), f12=jnp.asarray(f12), f33=jnp.asarray(f33),
         ind_surf=jnp.asarray(float(cfg.surface.ind)
-                             if cfg.surface.ind != UNSET else 1.34))
+                             if cfg.surface.ind != UNSET else 1.34),
+        rmat_sun=(None if rmat_sun is None
+                  else jnp.asarray(rmat_sun[: iborm + 1])))
     use_zout = cfg.view.zout_km != UNSET
     opt = solver.SolveOptions(igmax=cfg.igmax, imat_surf=imat_surf,
                               ifresnel=ifresnel, ipolar=cfg.ipolar,
@@ -781,7 +813,8 @@ def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
     inp = solver.SolveInputs(
         h=jnp.asarray(hs), xdel=jnp.asarray(xds), ydel=jnp.asarray(yds),
         k_aer=k_aer, k_mol=k_mol, mu_pos=jnp.asarray(lum.mu),
-        w_pos=jnp.asarray(lum.w), tab=jnp.asarray(lum.mus), n0=lum.imus,
+        w_pos=jnp.asarray(lum.w), tab=jnp.asarray(lum.mus),
+        n0=max(lum.imus, 0),     # -1 = decoupled sun: n0 unused (rmat_sun)
         surface=surf,
         zprof=jnp.asarray(zprofs) if use_zout else None,
         zout_km=jnp.asarray(float(cfg.view.zout_km)) if use_zout else None)

@@ -95,6 +95,13 @@ class SurfaceInputs(NamedTuple):
     plain Lambertian ground.  ``f11/f12/f33``: flat-sea Fresnel vectors of
     length N+1 with slot 0 = solar incidence
     (``SOS_MAT_FRESNEL_PLAN_REFL``, ``src/SOS_OS.F:1719``).
+
+    ``rmat_sun``: (S, 3, N) reflection of the unpolarized direct solar
+    beam (the ``rmat[:, :, 0, n0, :]`` column, ``src/SOS_OS.F:970-992``)
+    evaluated at the true solar incidence.  Required when the solar angle
+    is NOT a grid slot (``angles.solar_in_grid = False``); when present it
+    replaces the ``n0`` gather, making the grid — and therefore the
+    compiled executable — independent of the sun geometry.
     """
     rho: jnp.ndarray                      # scalar albedo
     rmat: Optional[jnp.ndarray] = None
@@ -102,6 +109,7 @@ class SurfaceInputs(NamedTuple):
     f12: Optional[jnp.ndarray] = None
     f33: Optional[jnp.ndarray] = None
     ind_surf: Optional[jnp.ndarray] = None
+    rmat_sun: Optional[jnp.ndarray] = None
 
 
 class SolveInputs(NamedTuple):
@@ -436,7 +444,13 @@ def _order1_bc_st(inp: SolveInputs, opt: SolveOptions, rmat, is0, hp,
     bc = jnp.zeros(xr.shape + (3, n), dtype=h.dtype).at[:, :, 0].set(xrn)
     if opt.imat_surf:
         rr = jnp.exp(h_nt / tab)[:, None] / mu                # (T, N)
-        bc = bc + rmat[:, :, 0, inp.n0, :][:, None] * rr[None, :, None, :]
+        if inp.surface.rmat_sun is not None:
+            # decoupled sun geometry: the solar column was evaluated at
+            # the true incidence (SurfaceInputs.rmat_sun docstring)
+            col = inp.surface.rmat_sun                        # (S, 3, N)
+        else:
+            col = rmat[:, :, 0, inp.n0, :]
+        bc = bc + col[:, None] * rr[None, :, None, :]
     return _pad_half(bc, hp), xrn
 
 
@@ -924,6 +938,8 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
     k_aer = pad_s(inp.k_aer)
     k_mol = pad_s(inp.k_mol)
     rmat = pad_s(inp.surface.rmat) if inp.surface.rmat is not None else None
+    rmat_sun = (pad_s(inp.surface.rmat_sun)
+                if inp.surface.rmat_sun is not None else None)
 
     # device-resident SOS_ARRET_FOURIER carry (src/SOS_OS.F:3709-3796).
     # The reference accumulates these sums in DOUBLE PRECISION; use f64
@@ -950,7 +966,8 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
         inp_b = inp._replace(
             k_aer=k_aer[blk], k_mol=k_mol[blk],
             surface=inp.surface._replace(
-                rmat=None if rmat is None else rmat[blk]),
+                rmat=None if rmat is None else rmat[blk],
+                rmat_sun=None if rmat_sun is None else rmat_sun[blk]),
             is0=is0)
         if solve_fn is not None:     # e.g. the mesh-sharded term solve
             return solve_fn(inp_b, opt)
@@ -1125,7 +1142,8 @@ def solve_fourier_multiband(inp: SolveInputs,
         f11=None if surf.f11 is None else 0,
         f12=None if surf.f12 is None else 0,
         f33=None if surf.f33 is None else 0,
-        ind_surf=None if surf.ind_surf is None else 0)
+        ind_surf=None if surf.ind_surf is None else 0,
+        rmat_sun=None if surf.rmat_sun is None else 0)
     axes = (0, 0, 0, 0, 0, 0, surf_axes,
             None if inp.zprof is None else 0,
             None if inp.zout_km is None else 0,
@@ -1178,6 +1196,8 @@ def solve_fourier_multiband_blocked(inp: SolveInputs, opt: SolveOptions,
     k_aer = pad_s(inp.k_aer)
     k_mol = pad_s(inp.k_mol)
     rmat = pad_s(inp.surface.rmat) if inp.surface.rmat is not None else None
+    rmat_sun = (pad_s(inp.surface.rmat_sun)
+                if inp.surface.rmat_sun is not None else None)
 
     acc_dtype = jnp.float64 if jax.config.x64_enabled else inp.h.dtype
     ct = c_n * t_n
@@ -1198,7 +1218,8 @@ def solve_fourier_multiband_blocked(inp: SolveInputs, opt: SolveOptions,
         inp_b = inp._replace(
             k_aer=k_aer[:, blk], k_mol=k_mol[:, blk],
             surface=inp.surface._replace(
-                rmat=None if rmat is None else rmat[:, blk]),
+                rmat=None if rmat is None else rmat[:, blk],
+                rmat_sun=None if rmat_sun is None else rmat_sun[:, blk]),
             is0=is0)
         return solve_fourier_multiband_jit(inp_b, opt)
 
