@@ -15,6 +15,7 @@ H2O, CO2, O3, N2O, CO, CH4, O2, NO2 (``inc/SOS.h`` CTE_NBABS order).
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 from importlib import resources
@@ -43,6 +44,15 @@ def data_root() -> str:
 
 
 def _load_builtin(iatm: int):
+    # per-process memo (values copied out): every case of a spectral LUT
+    # sweep rebuilds its gas columns, and the npz decompression costs
+    # ~5 ms per call on the 2-core host
+    cols = _load_builtin_cached(iatm)
+    return {k: v.copy() for k, v in cols.items()}
+
+
+@functools.lru_cache(maxsize=8)
+def _load_builtin_cached(iatm: int):
     name = ATMOSPHERE_NAMES[iatm]
     path = resources.files("radiativetransfer_sos_tpu") / "data/mcclatchey.npz"
     with resources.as_file(path) as p:

@@ -46,8 +46,13 @@ class CkdTables:
     missing: list = field(default_factory=list)
 
     def band_index(self, nu: float) -> int:
-        """0-based band index of wavenumber ``nu`` (reference LAMB1 - 1)."""
-        return int((self.numax - nu) / self.step)
+        """0-based band index of wavenumber ``nu`` (reference LAMB1 - 1).
+
+        Clamped to the last band: a wavenumber exactly on the file's
+        lower bound belongs to the final block (its min wavenumber,
+        e.g. block "13051 13050" of ``coef_O2_13100_13050``)."""
+        nwvl = int((self.numax - self.numin) / self.step)
+        return min(int((self.numax - nu) / self.step), nwvl - 1)
 
 
 def ckd_file_bounds(nu: float, step: int):

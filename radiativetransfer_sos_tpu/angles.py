@@ -22,6 +22,7 @@ Expansion orders follow ``src/SOS_ANGLES.F:305-334``:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -76,10 +77,21 @@ def gauss_positive_nodes(n_gauss: int) -> tuple[np.ndarray, np.ndarray]:
     Equivalent to reference ``SOS_GAUSS`` (``src/SOS_ANGLES.F:1022``, Newton
     iteration with asymptotic initial guesses, tol 1e-15) — here via the exact
     ``numpy.polynomial.legendre.leggauss`` solver, ascending order.
+    Memoized (copies returned): every case of a LUT sweep rebuilds its
+    grids, and ``leggauss`` is ~2 ms per call on the 2-core host.
     """
+    x, w = _leggauss_cached(n_gauss)
+    return x.copy(), w.copy()
+
+
+@functools.lru_cache(maxsize=32)
+def _leggauss_cached(n_gauss: int):
     x, w = np.polynomial.legendre.leggauss(2 * n_gauss)
     pos = x > 0.0
-    return x[pos], w[pos]
+    x, w = x[pos], w[pos]
+    x.setflags(write=False)
+    w.setflags(write=False)
+    return x, w
 
 
 def _merge_user(mu: np.ndarray, w: np.ndarray, user_deg: np.ndarray | None,

@@ -136,10 +136,12 @@ def _run_batched(cfg_list, pending, store, trace) -> None:
         s = i.surface
         # mu/w participate BY CONTENT: the angle grid is shared across a
         # multiband group (vmap in_axes None), and two different solar
-        # angles produce different grids with identical shapes
+        # angles produce different grids with identical shapes.  Read
+        # them from the HOST grid (p.lum) — hashing the device copies
+        # costs two tunnel round trips per case (profiled r5)
         return (i.h.shape[1], p.iborm, i.n0, p.opt,
-                np.asarray(i.mu_pos).tobytes(),
-                np.asarray(i.w_pos).tobytes(),
+                np.ascontiguousarray(p.lum.mu).tobytes(),
+                np.ascontiguousarray(p.lum.w).tobytes(),
                 s.rmat is None, s.f11 is None, s.f12 is None,
                 s.f33 is None, s.ind_surf is None, s.rmat_sun is None,
                 p.use_zout, str(i.h.dtype))
@@ -173,19 +175,71 @@ def _run_batched(cfg_list, pending, store, trace) -> None:
                 res = dispatch_case(p, trace)
                 store(i, trphi_option(p.cfg, finish_case(p, res, trace)))
             continue
-        per_dispatch = max(1, chunk // t_max)
-        for g0 in range(0, len(members), per_dispatch):
-            sub = members[g0:g0 + per_dispatch]
-            res_mb = _solve_group([preps[i] for i in sub], t_max)
-            # ONE device->host transfer for the whole group: per-case
-            # fetches through a remote-TPU tunnel cost a round trip each
-            res_mb = jax.device_get(res_mb)
-            for c, i in enumerate(sub):
-                p = preps[i]
-                res_c = jax.tree_util.tree_map(
-                    lambda x, _c=c: x[_c, :p.n_terms], res_mb)
-                _narrate_convergence(p, res_c, trace or _null_trace())
-                store(i, trphi_option(p.cfg, finish_case(p, res_c, trace)))
+        # greedy sub-grouping over members SORTED by term count: every
+        # case of a sub pads to the sub's max term count, so mixing a
+        # 125-term band with 1-term bands would solve ~t_max/t_i
+        # duplicates per small case (a 2.25 um sweep measured 3.5x padded
+        # work, r5); sorting packs like-sized cases together, bounded by
+        # the planner chunk
+        order = sorted(members, key=lambda i: preps[i].inp.h.shape[0])
+        subs, cur, cur_t = [], [], 0
+        for i in order:
+            t_i = preps[i].inp.h.shape[0]
+            t_new = max(cur_t, t_i)
+            if cur and (len(cur) + 1) * t_new > chunk:
+                subs.append((cur, cur_t))
+                cur, cur_t = [i], t_i
+            else:
+                cur.append(i)
+                cur_t = t_new
+        if cur:
+            subs.append((cur, cur_t))
+        for sub, t_sub in subs:
+            _solve_finish_sub(preps, sub, t_sub, trace, store)
+
+
+def _solve_finish_sub(preps, sub, t_max, trace, store) -> None:
+    """One multiband dispatch + device aggregation + per-case finish."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import solver
+    from .proc import (_aggregate_multiband_jit, _narrate_convergence,
+                       finish_case, trphi_option)
+    from .tracing import NullTrace
+
+    tr = trace or NullTrace()
+    with tr.stage("solve"):
+        res_mb = _solve_group([preps[i] for i in sub], t_max)
+    # aggregate every case's records ON the device (padded terms carry
+    # AIK weight 0), then ONE device->host transfer fetches the reduced
+    # tables + the small per-term scalars — the full (C, T, S, 3, D)
+    # records never cross the tunnel
+    with tr.stage("aggregate"):
+        aik_pad = np.zeros((len(sub), t_max))
+        for c, i in enumerate(sub):
+            aik_pad[c, :preps[i].n_terms] = preps[i].aik
+        recs_mb = _aggregate_multiband_jit(
+            jnp.asarray(aik_pad, dtype=res_mb.i3z.dtype),
+            res_mb.i3z, res_mb.i3bnd)
+        use_zout = preps[sub[0]].use_zout
+        recs_h, em_h, ep_h, to_h, ig_h, sc_h = jax.device_get(
+            (recs_mb, res_mb.emoins, res_mb.eplus,
+             res_mb.tauout if use_zout else None,
+             res_mb.ig_last, res_mb.stop_code))
+    for c, i in enumerate(sub):
+        p = preps[i]
+        nt_i = p.n_terms
+        res_c = solver.FourierResult(
+            i3z=None, i3bnd=None,
+            emoins=em_h[c, :nt_i], eplus=ep_h[c, :nt_i],
+            tauout=None if to_h is None else to_h[c, :nt_i],
+            ig_last=None if ig_h is None else ig_h[c, :nt_i],
+            stop_code=None if sc_h is None else sc_h[c, :nt_i])
+        _narrate_convergence(p, res_c, tr)
+        store(i, trphi_option(p.cfg, finish_case(
+            p, res_c, trace, recs=recs_h[c])))
 
 
 def _null_trace():

@@ -75,11 +75,21 @@ def _kernels_cached(mu_bytes: bytes, n: int, mus: float, os_nb: int,
     return k_aer, k_mol
 
 
-@_functools.lru_cache(maxsize=8)
 def _load_ckd_cached(nu: float, resolution: int, allow_missing: bool):
-    """CKD table memo: one ASCII parse per (band, resolution) per process
-    (a spectral sweep re-reads the same multi-MB files otherwise)."""
-    return load_ckd(nu, resolution, allow_missing=allow_missing)
+    """CKD table memo: one ASCII parse per (file window, resolution) per
+    process.  Keyed on the FILE bounds, not the wavenumber — one CKD file
+    covers 50 resolution steps (``src/SOS_SUB_TRS.F:655-660``), so a
+    1 cm^-1 spectral sweep hits tens of wavenumbers per file and would
+    otherwise re-parse the same multi-MB ASCII per wavelength."""
+    from .absorption.ckd import ckd_file_bounds
+    numax_f, numin_f = ckd_file_bounds(nu, resolution)
+    return _load_ckd_window(numax_f, numin_f, resolution, allow_missing)
+
+
+@_functools.lru_cache(maxsize=8)
+def _load_ckd_window(numax_f, numin_f, resolution, allow_missing):
+    return load_ckd(numax_f - 0.5 * resolution, resolution,
+                    allow_missing=allow_missing)
 
 
 @_functools.lru_cache(maxsize=16)
@@ -167,6 +177,9 @@ def _phase_matrix_bimodal(bmd, mie_grid, wavelength, at_ref: bool):
     return mix_phase_matrices([cm, fm], nf)
 
 
+_AER_PROPS_MEMO: dict = {}
+
+
 def aerosol_properties(cfg: SosConfig, mie_grid):
     """(AerosolExpansion, TA at the simulation wavelength).
 
@@ -174,7 +187,43 @@ def aerosol_properties(cfg: SosConfig, mie_grid):
     time at the AOT reference wavelength when it differs — the simulated
     AOT is rescaled by the extinction ratio
     (``src/SOS_PROC.F:3028-3063``).
+
+    Memoized in-process on every generating parameter (the granulometry
+    integration + GSF projection repeat identically across the cases of a
+    geometry/surface LUT sweep; user files participate via mtime+size).
     """
+    import dataclasses as _dc
+    import json as _json
+    import os
+
+    def _stamp(path):
+        try:
+            st = os.stat(path)
+            return (path, st.st_mtime_ns, st.st_size)
+        except (OSError, TypeError):
+            return (path,)
+
+    key = (_json.dumps(_dc.asdict(cfg.aerosols), sort_keys=True,
+                       default=str),
+           float(cfg.wavelength), cfg.angles.nbmu_mie, cfg.angles.nbmu_lum,
+           np.ascontiguousarray(mie_grid.mu).tobytes(),
+           _stamp(cfg.aerosols.external_file),
+           _stamp(getattr(cfg.aerosols, "mixture_file", None)))
+    hit = _AER_PROPS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    out = _aerosol_properties_impl(cfg, mie_grid)
+    for f in _dc.fields(out[0]):
+        v = getattr(out[0], f.name)
+        if isinstance(v, np.ndarray):
+            v.setflags(write=False)         # shared across cases
+    if len(_AER_PROPS_MEMO) > 32:
+        _AER_PROPS_MEMO.pop(next(iter(_AER_PROPS_MEMO)))
+    _AER_PROPS_MEMO[key] = out
+    return out
+
+
+def _aerosol_properties_impl(cfg: SosConfig, mie_grid):
     aer = cfg.aerosols
     os_nb, _, _ = angles_mod.expansion_orders(cfg.angles.nbmu_mie,
                                               cfg.angles.nbmu_lum)
@@ -710,6 +759,7 @@ def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
 
     # --- per-term profiles (C15) + truncation adjustment (C16)
     from . import native
+    trace_prof = trace.stage("profiles"); trace_prof.__enter__()
     if cfg.profile.type == 2:
         profs = [profile.slab_profile(tr, cfg.profile.hr, ta,
                                       cfg.profile.zmin, cfg.profile.zmax)
@@ -731,6 +781,13 @@ def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
                                                cfg.profile.ha)
             profs.append(p)
     nt_max = max(p.nt for p in profs)
+    # quantize the static layer count (multiple of 64, capped at the
+    # Pallas level-chunk boundary): spectral-sweep cases then share one
+    # solve shape — one executable, one multiband group — instead of one
+    # per adaptive layer count.  The bottom-replicated pad rows are
+    # zero-thickness, exact no-ops for the sweep (Profile.padded)
+    from .pallas_ops import pad_levels
+    nt_max = min(((nt_max + 63) // 64) * 64, pad_levels(nt_max) - 1)
     ttot_vrai_terms = np.array([p.h[-1] for p in profs])
 
     hs, xds, yds, zprofs = [], [], [], []
@@ -748,6 +805,7 @@ def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
     yds = np.stack(yds)
     zprofs = np.stack(zprofs)
     ttot_tronc_terms = hs[:, -1]
+    trace_prof.__exit__(None, None, None)
     if "-AP.Log" in io:
         products.write_ap_log(io["-AP.Log"], hs, xds, yds, zprofs,
                               ttot_vrai_terms)
@@ -891,8 +949,36 @@ def _narrate_convergence(prep: PreparedCase, res, trace) -> None:
                                np.asarray(res.eplus))
 
 
-def finish_case(prep: PreparedCase, res, trace=None) -> SosResults:
-    """Aggregation + transmissions of one solved case (run()'s tail)."""
+# jitted once per shape: the eager jax.vmap used before re-traced the
+# stop test on EVERY finished case (~30 ms/case on the 2-core host —
+# a third of a LUT sweep's output path, profiled r5)
+_stop_mask_cpu_jit = jax.jit(jax.vmap(solver.fourier_stop_mask))
+
+
+def _aggregate_records(aik, i3z, i3bnd):
+    """Device-side C18: Fourier stop mask + AIK-weighted contraction of
+    the per-term records (``src/SOS_AGGREGATE.F:372-441``), so only the
+    reduced (S, 3, D) table crosses the device->host link.  HIGHEST
+    precision keeps the f32 contraction out of bf16."""
+    mask = jax.vmap(solver.fourier_stop_mask)(i3bnd)
+    return jnp.einsum("t,ts,tscd->scd", aik, mask.astype(i3z.dtype), i3z,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+_aggregate_records_jit = jax.jit(_aggregate_records)
+#: per-case aggregation of a whole multiband group in one dispatch
+#: (padded terms carry AIK weight 0)
+_aggregate_multiband_jit = jax.jit(jax.vmap(_aggregate_records))
+
+
+def finish_case(prep: PreparedCase, res, trace=None,
+                recs: Optional[np.ndarray] = None) -> SosResults:
+    """Aggregation + transmissions of one solved case (run()'s tail).
+
+    ``recs``: pre-aggregated (S, 3, D) records — the batched LUT driver
+    aggregates a whole multiband group on the device in one dispatch
+    (:data:`_aggregate_multiband_jit`) and passes each case's slice here;
+    ``res`` then only needs the small per-term scalar fields."""
     if trace is None:
         from .tracing import NullTrace
         trace = NullTrace()
@@ -907,28 +993,60 @@ def finish_case(prep: PreparedCase, res, trace=None) -> SosResults:
     # --- aggregation (C18): AIK-weighted contraction over the batch axis.
     # One vmapped stop-mask call for the whole term batch: at a real 1 cm^-1
     # CKD product (hundreds-thousands of terms) a per-term host loop here
-    # would put thousands of dispatches on the output path.  The records
-    # are pulled to the host first and the tiny mask computed on the CPU
-    # backend: through a remote-TPU tunnel, dispatching it to the
-    # accelerator costs a ~50-100 ms round trip per finished case — the
-    # dominant cost of a batched LUT sweep's output path (profiled r4)
-    i3z = np.asarray(res.i3z)               # (terms, S, 3, D)
-    i3bnd_h = np.asarray(res.i3bnd)
-    with jax.default_device(jax.devices("cpu")[0]):
-        mask = np.asarray(jax.vmap(solver.fourier_stop_mask)(
-            jnp.asarray(i3bnd_h)))
-    recs = np.einsum("t,ts,tscd->scd", aik, mask.astype(np.float64), i3z)
-    emoins = float(aik @ np.asarray(res.emoins).reshape(n_terms))
-    eplus = float(aik @ np.asarray(res.eplus).reshape(n_terms))
+    # would put thousands of dispatches on the output path.  Two routes:
+    #
+    # * SMALL batches (LUT sweeps of 1-10-term bands, or host arrays from
+    #   the multiband group transfer): records come to the host and the
+    #   tiny mask runs on the CPU backend — through a remote-TPU tunnel,
+    #   dispatching it to the accelerator costs a ~50-100 ms round trip
+    #   per finished case, the dominant cost of a batched sweep's output
+    #   path (profiled r4).
+    # * LARGE device-resident batches (the production 1 cm^-1 case,
+    #   hundreds+ terms): pulling the full (T, S, 3, D) records costs
+    #   ~0.5 s at 125 terms through the tunnel — as long as the solve
+    #   itself (profiled r5).  The mask + weighted contraction run ON the
+    #   device and ONE transfer fetches the reduced (S, 3, D) records
+    #   plus the per-term scalars.
+    trace_agg = trace.stage("aggregate"); trace_agg.__enter__()
+    on_device = (recs is None and not isinstance(res.i3z, np.ndarray)
+                 and getattr(res.i3z, "nbytes", 0) > 2_000_000)
+    if recs is not None:
+        recs = np.asarray(recs, dtype=np.float64)
+        emoins_t, eplus_t = np.asarray(res.emoins), np.asarray(res.eplus)
+        tauout_t = np.asarray(res.tauout) if use_zout else None
+    elif on_device:
+        recs_d = _aggregate_records_jit(
+            jnp.asarray(aik, dtype=res.i3z.dtype), res.i3z, res.i3bnd)
+        recs, emoins_t, eplus_t, tauout_t = jax.device_get(
+            (recs_d, res.emoins, res.eplus,
+             res.tauout if use_zout else res.emoins))
+        recs = np.asarray(recs, dtype=np.float64)
+    else:
+        i3z = np.asarray(res.i3z)               # (terms, S, 3, D)
+        i3bnd_h = np.asarray(res.i3bnd)
+        with jax.default_device(jax.devices("cpu")[0]):
+            mask = np.asarray(_stop_mask_cpu_jit(jnp.asarray(i3bnd_h)))
+        recs = np.einsum("t,ts,tscd->scd", aik,
+                         mask.astype(np.float64), i3z)
+        emoins_t, eplus_t = np.asarray(res.emoins), np.asarray(res.eplus)
+        tauout_t = np.asarray(res.tauout) if use_zout else None
+    emoins = float(aik @ np.asarray(emoins_t, dtype=np.float64
+                                    ).reshape(n_terms))
+    eplus = float(aik @ np.asarray(eplus_t, dtype=np.float64
+                                   ).reshape(n_terms))
     # optical depths aggregate in transmission space
     # (``src/SOS_AGGREGATE.F:466-488``)
     ttot_tronc = -np.log(np.sum(aik * np.exp(-ttot_tronc_terms)))
     ttot_vrai = -np.log(np.sum(aik * np.exp(-ttot_vrai_terms)))
     # tauout aggregates in transmission space like the total depths
     # (``src/SOS_AGGREGATE.F:466-488``)
-    tauout_terms = np.asarray(res.tauout).reshape(n_terms)
-    tauout = (-np.log(np.sum(aik * np.exp(-tauout_terms)))
-              if use_zout else 0.0)
+    if use_zout:
+        tauout_terms = np.asarray(tauout_t, dtype=np.float64
+                                  ).reshape(n_terms)
+        tauout = -np.log(np.sum(aik * np.exp(-tauout_terms)))
+    else:
+        tauout = 0.0
+    trace_agg.__exit__(None, None, None)
 
     # --- diffuse transmittances (src/SOS.F:605-637, one batched solve)
     tdifmus = tdifmug = None
@@ -981,7 +1099,7 @@ def trphi_option(cfg: SosConfig, res: SosResults) -> SosResults:
     # one recomposition matmul over every requested azimuth + one
     # broadcasted add-back pass (the reference loops SOS_TRPHI once per
     # azimuth -- 361 passes at Dphi = 1, src/SOS_TRPHI.F:431-615)
-    f = np.asarray(recompose.recompose(jnp.asarray(res.records_up), phis))
+    f = recompose.recompose_np(res.records_up, phis)
     xit, xqt, xut = recompose.add_direct_terms(
         f[:, 0], f[:, 1], f[:, 2], grid.mu, grid.imus, grid.mus,
         res.ttot_tronc, res.tauout, phis, terms, cfg.ipolar)

@@ -79,6 +79,29 @@ def recompose(records, phi):
     return out
 
 
+def recompose_np(records, phi):
+    """Host (numpy) twin of :func:`recompose` for the output path.
+
+    The aggregated record table is tiny ((S, 3, D) ~ tens of KB); through
+    a remote-TPU tunnel a device dispatch here costs two ~20 ms round
+    trips PER CASE of a LUT sweep — the host matmul is microseconds
+    (profiled r5).  Kept numerically identical (float64 einsum).
+    """
+    records = np.asarray(records)
+    phi_arr = np.atleast_1d(np.asarray(phi, dtype=np.float64))
+    s = np.arange(records.shape[0], dtype=np.float64)
+    coef = np.where(s == 0, 1.0, 2.0)
+    ang = phi_arr[:, None] * s[None, :]
+    wc = coef * np.cos(ang)
+    ws = np.where(s[None, :] == 0, 1.0, coef * np.sin(ang))
+    out_iq = np.einsum("ps,scd->pcd", wc, records[:, :2])
+    out_u = np.einsum("ps,scd->pcd", ws, records[:, 2:])
+    out = np.concatenate([out_iq, out_u], axis=1)
+    if np.ndim(phi) == 0:
+        return out[0]
+    return out
+
+
 # --- direct-reflection helpers (host/np, per azimuth) -----------------------
 
 def glitter_probability(sig2, c0, c1, phi):

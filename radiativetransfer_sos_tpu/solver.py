@@ -973,19 +973,32 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
             return solve_fn(inp_b, opt)
         return solve_fourier_batch_jit(inp_b, opt)   # async
 
-    def process(s0, res_b):
-        """Fold one block into the device carry; True when every term has
-        found its first passing order.  Blocks only on the scalar."""
-        nonlocal i4, i4c, i5, i5c, found, emoins, eplus, tauout, \
-            n_dispatched
+    def submit(s0, res_b):
+        """Chain the device-resident stop carry for one block at DISPATCH
+        time and start the scalar's host copy asynchronously: the
+        transfer fires the moment the block's compute finishes, while
+        Python is still waiting on an earlier block — a high-latency
+        link (remote-TPU tunnel, ~30-50 ms RTT) then costs pipeline-fill
+        latency once instead of one RTT per block (profiled r5)."""
+        nonlocal i4, i4c, i5, i5c, found
+        i4, i4c, i5, i5c, found, all_found = _stop_step(
+            i4, i4c, i5, i5c, found, res_b.i3bnd, s0, block, n_s,
+            float(seuil_sf))
+        try:
+            all_found.copy_to_host_async()
+        except Exception:      # not every backend exposes the hint
+            pass
+        return all_found
+
+    def process(s0, res_b, all_found):
+        """Record one block; True when every term has found its first
+        passing order.  Blocks only on the one scalar."""
+        nonlocal emoins, eplus, tauout, n_dispatched
         parts.append(res_b)
         if s0 == 0:
             emoins, eplus = res_b.emoins, res_b.eplus
             tauout = res_b.tauout
         n_dispatched = min(s0 + block, n_s)
-        i4, i4c, i5, i5c, found, all_found = _stop_step(
-            i4, i4c, i5, i5c, found, res_b.i3bnd, s0, block, n_s,
-            float(seuil_sf))
         return bool(all_found)
 
     # one-block speculation: dispatch block b+1 before synchronizing block
@@ -997,7 +1010,8 @@ def solve_fourier_blocked(inp: SolveInputs, opt: SolveOptions,
     s0 = 0
     done = False
     while s0 < n_pad and not done:
-        inflight.append((s0, dispatch(s0)))
+        res_b = dispatch(s0)
+        inflight.append((s0, res_b, submit(s0, res_b)))
         s0 += block
         if len(inflight) >= 2:
             done = process(*inflight.popleft())
@@ -1223,17 +1237,27 @@ def solve_fourier_multiband_blocked(inp: SolveInputs, opt: SolveOptions,
             is0=is0)
         return solve_fourier_multiband_jit(inp_b, opt)
 
-    def process(s0, res_b):
-        nonlocal i4, i4c, i5, i5c, found, emoins, eplus, tauout, \
-            n_dispatched
+    def submit(s0, res_b):
+        # async stop-carry chaining at dispatch time (see
+        # solve_fourier_blocked.submit: one pipeline fill instead of one
+        # tunnel round trip per block)
+        nonlocal i4, i4c, i5, i5c, found
+        bnd = res_b.i3bnd.reshape(ct, -1, 3, d)
+        i4, i4c, i5, i5c, found, all_found = _stop_step(
+            i4, i4c, i5, i5c, found, bnd, s0, block, n_s, float(seuil_sf))
+        try:
+            all_found.copy_to_host_async()
+        except Exception:
+            pass
+        return all_found
+
+    def process(s0, res_b, all_found):
+        nonlocal emoins, eplus, tauout, n_dispatched
         parts.append(res_b)
         if s0 == 0:
             emoins, eplus = res_b.emoins, res_b.eplus
             tauout = res_b.tauout
         n_dispatched = min(s0 + block, n_s)
-        bnd = res_b.i3bnd.reshape(ct, -1, 3, d)
-        i4, i4c, i5, i5c, found, all_found = _stop_step(
-            i4, i4c, i5, i5c, found, bnd, s0, block, n_s, float(seuil_sf))
         return bool(all_found)
 
     from collections import deque
@@ -1241,7 +1265,8 @@ def solve_fourier_multiband_blocked(inp: SolveInputs, opt: SolveOptions,
     s0 = 0
     done = False
     while s0 < n_pad and not done:
-        inflight.append((s0, dispatch(s0)))
+        res_b = dispatch(s0)
+        inflight.append((s0, res_b, submit(s0, res_b)))
         s0 += block
         if len(inflight) >= 2:
             done = process(*inflight.popleft())
