@@ -534,17 +534,19 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
         h_flat_p = jnp.pad(h_flat, ((0, bp - b_n), (0, 0)))
         coeffs = po.sweep_coeffs(h_flat_p, nt)
 
-        def sweep(src, bc):
-            s4 = src.reshape(b_n, lp, 2 * hp)
+        def sweep(src_pair, bc):
+            su, sd = (s.reshape(b_n, lp, hp) for s in src_pair)
             b2 = bc.reshape(b_n, hp)
             if bp != b_n:
-                s4 = jnp.pad(s4, ((0, bp - b_n), (0, 0), (0, 0)))
+                su = jnp.pad(su, ((0, bp - b_n), (0, 0), (0, 0)))
+                sd = jnp.pad(sd, ((0, bp - b_n), (0, 0), (0, 0)))
                 b2 = jnp.pad(b2, ((0, bp - b_n), (0, 0)))
-            up, dn = po.sweep_scan_batched(s4, *coeffs, muh, b2, nt)
+            up, dn = po.sweep_scan_batched(su, sd, coeffs, muh, b2, nt)
             return (up[:b_n].reshape(s_n, t_n, lp, hp),
                     dn[:b_n].reshape(s_n, t_n, lp, hp))
     else:
-        def sweep(src, bc):
+        def sweep(src_pair, bc):
+            src = jnp.concatenate(src_pair, axis=-1)
             out = jax.vmap(_sweep_flat_scan, in_axes=(0, None, 0, 0))(
                 h_flat, muh, src.reshape(b_n, lp, 2 * hp),
                 bc.reshape(b_n, hp))
@@ -555,19 +557,21 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
     yb = ydel_p[None, :, :, None]
     if use_tpu and t_n % po._IB == 0:
         # order-major instance blocks each hold _IB terms of ONE order, so
-        # the fused kernel keeps that order's operator resident in VMEM
-        xdel_b = jnp.broadcast_to(
-            xdel_p[None], (s_n, t_n, lp)).reshape(b_n, lp, 1)
-        ydel_b = jnp.broadcast_to(
-            ydel_p[None], (s_n, t_n, lp)).reshape(b_n, lp, 1)
+        # the fused kernel keeps that order's operator resident in VMEM;
+        # the mixing fractions pack into ONE (B, LP, 2) stream
+        xy_b = jnp.stack([
+            jnp.broadcast_to(xdel_p[None], (s_n, t_n, lp)),
+            jnp.broadcast_to(ydel_p[None], (s_n, t_n, lp))],
+            axis=-1).reshape(b_n, lp, 2)
         bpo = t_n // po._IB
 
         def scatter(up, dn):
-            src = po.scatter_fused(up.reshape(b_n, lp, hp),
-                                   dn.reshape(b_n, lp, hp),
-                                   xdel_b, ydel_b, mboth, bpo,
-                                   MATMUL_PRECISION)
-            return src.reshape(s_n, t_n, lp, 2 * hp)
+            su, sd = po.scatter_fused(up.reshape(b_n, lp, hp),
+                                      dn.reshape(b_n, lp, hp),
+                                      xy_b, mboth, bpo,
+                                      MATMUL_PRECISION)
+            return (su.reshape(s_n, t_n, lp, hp),
+                    sd.reshape(s_n, t_n, lp, hp))
     else:
         def scatter(up, dn):
             f2 = jnp.concatenate([xb * up, xb * dn, yb * up, yb * dn],
@@ -575,7 +579,8 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
             f2 = f2.reshape(s_n, t_n * lp, 4 * hp)
             src = jnp.matmul(f2, mboth, preferred_element_type=dtype,
                              precision=MATMUL_PRECISION)
-            return src.reshape(s_n, t_n, lp, 2 * hp)
+            src = src.reshape(s_n, t_n, lp, 2 * hp)
+            return src[..., :hp], src[..., hp:]
 
     # ----- order IG = 1 (SOS_FSOURCE_ORDRE1, src/SOS_OS.F:2431) -----
     ch = jnp.exp(h_p / tab[:, None]) / 4.0                   # (T, LP)
@@ -583,13 +588,14 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
            + ydel_p[None, :, :, None] * col_m[:, :, None, :])
     src1 = ch[None, :, :, None] * mix                        # (S,T,LP,W)
     bc1, xr1 = _order1_bc_st(inp, opt, rmat, is0, hp, h_p, tab)
-    up, dn = sweep(src1, bc1)
+    up, dn = sweep((src1[..., :hp], src1[..., hp:]), bc1)
 
     if opt.ifresnel:
         srcf = _fresnel_primary_st(k_aer, k_mol, xdel_p, ydel_p, h_p, tab,
                                    inp.surface.f11, inp.surface.f12, hp,
                                    nt)
-        u2, d2 = sweep(srcf, jnp.zeros_like(bc1))
+        u2, d2 = sweep((srcf[..., :hp], srcf[..., hp:]),
+                       jnp.zeros_like(bc1))
         up = up + u2
         dn = dn + d2
 

@@ -54,8 +54,10 @@ def _run_scan_kernel(h, muh, src, bc, interpret=True):
     src_p = jnp.pad(src, ((0, bp - ts), (0, lp - ntp1), (0, 0)))
     bc_p = jnp.pad(bc, ((0, bp - ts), (0, 0)))
     coeffs = pallas_ops.sweep_coeffs(h_p, nt)
-    up, dn = pallas_ops.sweep_scan_batched(src_p, *coeffs, muh, bc_p, nt,
-                                           interpret=interpret)
+    hp_ = src_p.shape[-1] // 2
+    up, dn = pallas_ops.sweep_scan_batched(src_p[..., :hp_],
+                                           src_p[..., hp_:], coeffs, muh,
+                                           bc_p, nt, interpret=interpret)
     return np.asarray(up[:ts, :ntp1]), np.asarray(dn[:ts, :ntp1])
 
 
@@ -114,9 +116,11 @@ def test_scatter_fused_interpret_matches_matmul(s_n, t_n):
     hp = 128
     up, dn, xd, yd, mboth = _scatter_case(s_n, t_n, hp, lp, s_n * 7 + t_n)
     bpo = t_n // pallas_ops._IB
-    got = np.asarray(pallas_ops.scatter_fused(
-        up, dn, xd, yd, mboth, bpo, precision=lax.Precision.HIGHEST,
-        interpret=True))
+    xy = jnp.concatenate([xd, yd], axis=-1)
+    gu, gd = pallas_ops.scatter_fused(
+        up, dn, xy, mboth, bpo, precision=lax.Precision.HIGHEST,
+        interpret=True)
+    got = np.concatenate([np.asarray(gu), np.asarray(gd)], axis=-1)
     # XLA reference: same mix + per-order matmul
     f2 = jnp.concatenate([xd * up, xd * dn, yd * up, yd * dn], axis=-1)
     f2 = f2.reshape(s_n, t_n * lp, 4 * hp)
@@ -146,12 +150,13 @@ def test_fused_scatter_sweep_interpret_matches_pipeline():
     coeffs = pallas_ops.sweep_coeffs(h_b, nt)
     prec = lax.Precision.HIGHEST
 
-    src = pallas_ops.scatter_fused(up, dn, xd, yd, mb, bpo, prec,
-                                   interpret=True)
+    xy = jnp.concatenate([xd, yd], axis=-1)
+    src_u, src_d = pallas_ops.scatter_fused(up, dn, xy, mb, bpo, prec,
+                                            interpret=True)
     want_up, want_dn = pallas_ops.sweep_scan_batched(
-        src, *coeffs, muh, bc, nt, interpret=True)
+        src_u, src_d, coeffs, muh, bc, nt, interpret=True)
     got_up, got_dn = pallas_ops.fused_scatter_sweep(
-        up, dn, xd, yd, mb, bpo, *coeffs, muh, bc, nt, prec,
+        up, dn, xy, mb, bpo, coeffs, muh, bc, nt, prec,
         interpret=True)
     np.testing.assert_allclose(np.asarray(got_up), np.asarray(want_up),
                                rtol=1e-5, atol=1e-5)
