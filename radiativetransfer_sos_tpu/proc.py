@@ -620,6 +620,8 @@ def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
     if trace is None:
         from .tracing import NullTrace
         trace = NullTrace()
+    from .cache import enable_compile_cache
+    enable_compile_cache()           # idempotent; ~50 s of a cold run
     cfg.validate()
 
     # --- angle grids (C4)
