@@ -688,6 +688,16 @@ def section_roofline(out):
             "field_traffic_at_copy_ceiling": 4.66,
             "per_extra_stream": 0.64, "matmul": 0.0},
         "scatter_bf16_kernel_tflops": 60.2,
+        # measured END-TO-END outcome of bf16 field storage
+        # (RTSOS_FIELD_DTYPE=bf16, opt-in): +17% at the 16-term batch
+        # (133 -> 156 terms/s) but SLOWER at the 512-term scale
+        # (706 -> 611-637 terms/s; the in-kernel casts cost more VPU
+        # than the traffic saves at block=4), with worst-case 3.2%
+        # relative error on small-magnitude records vs f64 (abs gate
+        # still passes).  Production default stays f32.
+        "bf16_fields_e2e": {"t16_terms_per_s": [133.0, 155.6],
+                            "t512_terms_per_s": [706.4, 623.0],
+                            "max_rel_err": 0.0322},
         "sweep_probe_ms": {"all_rounds_removed": 7.25, "noexp": 7.51,
                            "halved_src_reads": 7.49, "full": 7.48},
         "conclusion": ("both kernels sit at the measured per-stream "

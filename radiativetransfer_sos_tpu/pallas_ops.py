@@ -68,16 +68,21 @@ def _i0():
 def _scatter_kernel(up_ref, dn_ref, xy_ref, mb_ref, out_u_ref, out_d_ref,
                     precision):
     ib, ch, hp = up_ref.shape
-    u, d = up_ref[:], dn_ref[:]
+    # bf16 field mode (RTSOS_FIELD_DTYPE): blocks arrive bf16 from HBM
+    # (half the traffic of the bandwidth-bound kernel); the mix runs f32
+    # in VMEM and the MXU accumulates f32 — other dtypes are untouched
+    dt_c = jnp.float32 if up_ref.dtype == jnp.bfloat16 else up_ref.dtype
+    u = up_ref[:].astype(dt_c)
+    d = dn_ref[:].astype(dt_c)
     x, y = xy_ref[:, :, 0:1], xy_ref[:, :, 1:2]      # (IB, CH, 1) each
     # rows of the flat operator are ordered [M_aer; M_mol] over the
     # [up|dn] field lanes (solver._flat_operator)
     f2 = jnp.concatenate([x * u, x * d, y * u, y * d], axis=-1)
     src = jnp.dot(f2.reshape(ib * ch, 4 * hp), mb_ref[0],
-                  preferred_element_type=f2.dtype, precision=precision)
+                  preferred_element_type=dt_c, precision=precision)
     src = src.reshape(ib, ch, 2 * hp)
-    out_u_ref[:] = src[:, :, :hp]
-    out_d_ref[:] = src[:, :, hp:]
+    out_u_ref[:] = src[:, :, :hp].astype(out_u_ref.dtype)
+    out_d_ref[:] = src[:, :, hp:].astype(out_d_ref.dtype)
 
 
 def scatter_fused(up_h, dn_h, xy_b, mboth, blocks_per_order,
@@ -191,6 +196,10 @@ def _sweep_kernel(src_dn_ref, src_up_ref, cf_fwd_ref, cf_rev_ref,
     became 3.
     """
     ch = src_dn_ref.shape[1]
+    # bf16 field mode: HBM blocks may be bf16, but the recurrence runs
+    # in f32 (the scratch carries are f32 too); other dtypes untouched
+    dt_c = (jnp.float32 if src_dn_ref.dtype == jnp.bfloat16
+            else src_dn_ref.dtype)
     mu, rmu = mur_ref[0:1], mur_ref[1:2]
     iota = lax.broadcasted_iota(jnp.int32, (1, ch, 1), 1)
 
@@ -202,7 +211,7 @@ def _sweep_kernel(src_dn_ref, src_up_ref, cf_fwd_ref, cf_rev_ref,
         hi_up[:] = jnp.zeros_like(hi_up)
 
     # ---- down sweep, chunk index c (forward) ----
-    hi = src_dn_ref[:]                                   # sd[l] rows
+    hi = src_dn_ref[:].astype(dt_c)                      # sd[l] rows
     lo = pltpu.roll(hi, jnp.int32(1), 1)                 # sd[l-1]
     lo = jnp.where(iota == 0, lo_dn[:][:, None, :], lo)
     dt, rd = cf_fwd_ref[:, :, 0:1], cf_fwd_ref[:, :, 1:2]
@@ -211,14 +220,14 @@ def _sweep_kernel(src_dn_ref, src_up_ref, cf_fwd_ref, cf_rev_ref,
     b = (1.0 - a) * (-al * mu + hi) + al * a * dt
     a, b = _scan_fwd(a, b, iota)
     fdn = a * c_dn[:][:, None, :] + b
-    dn_out_ref[:] = fdn
+    dn_out_ref[:] = fdn.astype(dn_out_ref.dtype)
     c_dn[:] = fdn[:, ch - 1]
     lo_dn[:] = hi[:, ch - 1]
 
     # ---- up sweep, chunk index nc-1-c (reversed walk) ----
     nc = pl.num_programs(1)
     glob = (nc - 1 - pl.program_id(1)) * ch + iota       # global level
-    lo = src_up_ref[:]                                   # su[l] rows
+    lo = src_up_ref[:].astype(dt_c)                      # su[l] rows
     hi = pltpu.roll(lo, jnp.int32(ch - 1), 1)            # su[l+1]
     hi = jnp.where(iota == ch - 1, hi_up[:][:, None, :], hi)
     dt, rd = cf_rev_ref[:, :, 2:3], cf_rev_ref[:, :, 3:4]
@@ -230,7 +239,7 @@ def _sweep_kernel(src_dn_ref, src_up_ref, cf_fwd_ref, cf_rev_ref,
     b = jnp.where(is_ground, bc_ref[:][:, None, :], b)
     a, b = _scan_rev(a, b, iota)
     fup = a * c_up[:][:, None, :] + b
-    up_out_ref[:] = fup
+    up_out_ref[:] = fup.astype(up_out_ref.dtype)
     c_up[:] = fup[:, 0]
     hi_up[:] = lo[:, 0]
 
@@ -274,9 +283,10 @@ def sweep_scan_batched(src_up, src_dn, coeffs, muh, bc, nt,
                           memory_space=pltpu.VMEM)
     out_dn = pl.BlockSpec((_IB, _CH, hp), lambda b, c: (b, c, _i0()),
                           memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((_IB, hp), dtype) for _ in range(4)]
+    dt_c = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    scratch = [pltpu.VMEM((_IB, hp), dt_c) for _ in range(4)]
     kern = functools.partial(_sweep_kernel, nt=nt)
-    mur = jnp.stack([muh.astype(dtype), 1.0 / muh.astype(dtype)])
+    mur = jnp.stack([muh.astype(dt_c), 1.0 / muh.astype(dt_c)])
     kw = {}
     if dimsem:
         # instance blocks are independent (the VMEM scratch carries only

@@ -525,6 +525,17 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
     h_flat = jnp.broadcast_to(h_p[None], (s_n, t_n, lp)).reshape(b_n, lp)
     use_tpu = (on_tpu() and dtype == jnp.float32
                and not _os.environ.get("RTSOS_DISABLE_PALLAS"))
+    # opt-in bf16 FIELD STORAGE (RTSOS_FIELD_DTYPE=bf16): the scattering
+    # field/source hemispheres are stored bf16 between the Pallas
+    # kernels — both hot kernels are bandwidth-bound on this chip (r5
+    # breakdown), so halving their HBM traffic buys ~1.5x — while every
+    # reduction, boundary record, convergence test and the sweep
+    # recurrence itself stays f32.  Accuracy cost is measured by the
+    # bench precision gate; default remains full f32.
+    field_dtype = dtype
+    if use_tpu and _os.environ.get("RTSOS_FIELD_DTYPE", "").lower() in (
+            "bf16", "bfloat16"):
+        field_dtype = jnp.bfloat16
 
     # The field lives as (up, dn) hemisphere halves, (S, T, LP, HP) each —
     # on TPU the Pallas kernels produce/consume the halves directly and no
@@ -535,7 +546,8 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
         coeffs = po.sweep_coeffs(h_flat_p, nt)
 
         def sweep(src_pair, bc):
-            su, sd = (s.reshape(b_n, lp, hp) for s in src_pair)
+            su, sd = (s.reshape(b_n, lp, hp).astype(field_dtype)
+                      for s in src_pair)
             b2 = bc.reshape(b_n, hp)
             if bp != b_n:
                 su = jnp.pad(su, ((0, bp - b_n), (0, 0), (0, 0)))
@@ -603,7 +615,8 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
     # (src/SOS_OS.F:1062-1084): attenuated transport of the ground BRDF
     # reflection of the direct beam
     if opt.imat_surf:
-        up_ground = up[:, :, nt, :3 * n].reshape(s_n, t_n, 3, n)
+        up_ground = up[:, :, nt, :3 * n].astype(dtype).reshape(
+            s_n, t_n, 3, n)
         xr3 = jnp.zeros((s_n, t_n, 3, n), dtype).at[:, :, 0].set(xr1)
         if opt.use_zout:
             att = jnp.exp(-(h_p[:, nt:nt + 1] - h_p)[:, :, None, None]
@@ -618,14 +631,17 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
         rii0 = jnp.zeros((s_n, t_n, hp), dtype)
 
     def bnd(u, d):
-        return jnp.concatenate([u[:, :, 0], d[:, :, nt]], axis=-1)
+        # boundary records / accumulators stay full precision even when
+        # the field hemispheres are stored bf16 (RTSOS_FIELD_DTYPE)
+        return jnp.concatenate([u[:, :, 0], d[:, :, nt]],
+                               axis=-1).astype(dtype)
 
     i3 = bnd(up, dn)                                         # (S, T, W)
     d1 = i3
     a1 = jnp.zeros_like(i3)
     if opt.use_zout:
-        acc = (up, dn)
-        d1out = (up, dn)
+        acc = tuple(x.astype(dtype) for x in (up, dn))
+        d1out = acc
     else:
         dummy = jnp.zeros((1,), dtype)
         acc = (dummy, dummy)
@@ -640,7 +656,8 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
 
         up_c, dn_c = fld
         src = scatter(up_c, dn_c)
-        bc = _surface_reflect_st(dn_c[:, :, nt], inp, opt, rmat, is0, hp)
+        bc = _surface_reflect_st(dn_c[:, :, nt].astype(dtype), inp, opt,
+                                 rmat, is0, hp)
         new = sweep(src, bc)
         g1 = bnd(*new)                                       # (S, T, W)
 
@@ -658,12 +675,13 @@ def _solve_st(mboth, col_a, col_m, k_aer, k_mol, rmat, is0,
         if opt.use_zout:
             c_f = conv[..., None, None]
             a_f = active[..., None, None]
+            new32 = tuple(x.astype(dtype) for x in new)
             acc_n = tuple(
                 jnp.where(c_f, a_h + _queue(q_h, n_h),
                           jnp.where(a_f, a_h + n_h, a_h))
-                for a_h, q_h, n_h in zip(acc_c, d1out_c, new))
+                for a_h, q_h, n_h in zip(acc_c, d1out_c, new32))
             d1out_n = tuple(jnp.where(a_f, n_h, q_h)
-                            for q_h, n_h in zip(d1out_c, new))
+                            for q_h, n_h in zip(d1out_c, new32))
         else:
             acc_n, d1out_n = acc_c, d1out_c
 
