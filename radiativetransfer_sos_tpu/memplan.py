@@ -41,17 +41,16 @@ RESERVE_BYTES = 0.3e9
 def budget_bytes(hbm: float) -> float:
     return hbm * (1.0 - RESERVE_FRACTION) - RESERVE_BYTES
 
-#: Fourier block size by dispatch term count, measured on v5e (512/128/64/
-#: 16-term demo-shape sweeps, round 4).  Small blocks waste fewer orders
-#: past the SOS_ARRET_FOURIER stop but cost one stop-test round trip per
-#: block; the trade flips with the term batch that amortizes each
-#: dispatch.  Measured terms/s at the demo shape:
+#: Fourier block size by dispatch term count, measured on v5e.  Small
+#: blocks waste fewer orders past the SOS_ARRET_FOURIER stop; large term
+#: batches amortize each dispatch.  Re-swept in round 5 after the async
+#: device-resident stop test + kernel stream packing (~1.6-2x across the
+#: board; the r4 optima stand).  Measured terms/s at the demo shape:
 #:
-#:   terms  block=4  block=8  block=16  block=32
-#:    512     434      388       285(c256)  175(c128)
-#:    128     241      254       248         -
-#:     64     154      194       183         -
-#:     16      48       73       112        106
+#:   terms  block=4  block=8  block=16     (r4: 4 / 8 / 16)
+#:    512     708      527      391        (434 / 388 / 285)
+#:    128     448      454      345        (241 / 254 / 248)
+#:     16      89      117      132        ( 48 /  73 / 112)
 BLOCK_BY_TERMS: Tuple[Tuple[int, int], ...] = ((256, 4), (64, 8), (0, 16))
 
 #: term-chunk candidates, largest first — bigger chunks amortize the
