@@ -82,7 +82,12 @@ def sos_run_many(cfgs: Iterable[SosConfig], mesh=None,
     solved per-case leaves most of the device idle.  Cases group by
     static solve shape (angle grid, Fourier orders, layer pad, options,
     surface structure); group sizes are capped by the HBM planner.
-    Results are identical to the sequential path (vmap is exact).
+    The solver records are identical to the sequential path (vmap is
+    exact); on TPU the batched AGGREGATION runs on the device in f32
+    (HIGHEST precision) while small sequential cases aggregate on the
+    host in f64, so final records can differ by a few 1e-8 (the bench
+    ``lut_sweep.max_abs_diff`` tracks it; on CPU both paths are f64 and
+    bitwise equal).
     """
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
