@@ -700,6 +700,13 @@ def section_roofline(out):
                             "max_rel_err": 0.0322},
         "sweep_probe_ms": {"all_rounds_removed": 7.25, "noexp": 7.51,
                            "halved_src_reads": 7.49, "full": 7.48},
+        # measured negative: merging ALL buffers into single W-wide
+        # streams requires the up hemisphere stored level-reversed
+        # (both sweep directions then walk forward chunks), but Pallas
+        # has no sublane reverse (lax.rev unimplemented) so the scatter
+        # must unflip/reflip via permutation matmuls — prototype:
+        # 6.90 ms vs the 5.25 ms production scatter.  Abandoned.
+        "merged_stream_flip_scatter_ms": [6.90, 5.25],
         "conclusion": ("both kernels sit at the measured per-stream "
                        "machinery floor over the 365 GB/s Pallas copy "
                        "ceiling; fusion still loses (MXU/VPU serialize)"),
