@@ -144,3 +144,15 @@ def test_cli_end_to_end(tmp_path):
         capture_output=True, text=True, env=env, timeout=600)
     assert r2.returncode == 1
     assert "ERROR" in r2.stderr
+
+
+def test_solar_in_grid_extension_keyword():
+    """-ANG.SolarInGrid (framework extension) reaches the config; default
+    preserves reference parity (solar angle injected into the grid)."""
+    cfg = config_from_keywords({"-SOS_Main.Wa": "0.55", "-ANG.Thetas": "30.",
+                                "-SURF.Alb": "0.1"})
+    assert cfg.angles.solar_in_grid is True
+    cfg = config_from_keywords({"-SOS_Main.Wa": "0.55", "-ANG.Thetas": "30.",
+                                "-SURF.Alb": "0.1",
+                                "-ANG.SolarInGrid": "0"})
+    assert cfg.angles.solar_in_grid is False

@@ -132,3 +132,21 @@ def test_thetas_sweep_glitter_one_group():
     for rs, rb in zip(seq, bat):
         np.testing.assert_array_equal(rb.up["i"], rs.up["i"])
         np.testing.assert_array_equal(rb.up["q"], rs.up["q"])
+
+
+def test_thetas_sweep_on_tpu(tpu_device):
+    """The decoupled-sun multiband sweep on the REAL chip: the f32 device
+    path (Pallas kernels + device-side group aggregation) agrees with the
+    sequential per-case path within the device-aggregation tolerance."""
+    import jax
+
+    base = _cfg(solar_in_grid=False, aot=0.2, alb=0.1)
+    cases = lut.sweep_configs(base, {"angles.thetas_deg": [25.0, 45.0]})
+    with jax.default_device(tpu_device):
+        seq = lut.sos_run_many(cases)
+        bat = lut.sos_run_many(cases, batch_cases=True)
+    for rs, rb in zip(seq, bat):
+        np.testing.assert_allclose(rb.up["i"], rs.up["i"],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(rb.up["q"], rs.up["q"],
+                                   rtol=1e-4, atol=1e-7)
