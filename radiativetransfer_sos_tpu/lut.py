@@ -204,7 +204,12 @@ def _run_batched(cfg_list, pending, store, trace) -> None:
 
 
 def _solve_finish_sub(preps, sub, t_max, trace, store) -> None:
-    """One multiband dispatch + device aggregation + per-case finish."""
+    """One multiband dispatch + device aggregation + per-case finish.
+
+    A ``RESOURCE_EXHAUSTED`` from the runtime (transient fragmentation or
+    a co-tenant on the chip — the planner's own estimate fits) splits the
+    sub-group in half and retries rather than killing the sweep.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -215,8 +220,20 @@ def _solve_finish_sub(preps, sub, t_max, trace, store) -> None:
     from .tracing import NullTrace
 
     tr = trace or NullTrace()
-    with tr.stage("solve"):
-        res_mb = _solve_group([preps[i] for i in sub], t_max)
+    try:
+        with tr.stage("solve"):
+            tr.event("multiband", n_cases=len(sub), t_max=t_max,
+                     instances=len(sub) * t_max)
+            res_mb = _solve_group([preps[i] for i in sub], t_max)
+    except Exception as e:
+        if "RESOURCE_EXHAUSTED" not in str(e) or len(sub) < 2:
+            raise
+        tr.event("multiband", oom_split=len(sub))
+        half = len(sub) // 2
+        for part in (sub[:half], sub[half:]):
+            t_part = max(preps[i].inp.h.shape[0] for i in part)
+            _solve_finish_sub(preps, part, t_part, trace, store)
+        return
     # aggregate every case's records ON the device (padded terms carry
     # AIK weight 0), then ONE device->host transfer fetches the reduced
     # tables + the small per-term scalars — the full (C, T, S, 3, D)
