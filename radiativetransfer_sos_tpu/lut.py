@@ -155,7 +155,30 @@ def _run_batched(cfg_list, pending, store, trace) -> None:
     for i in pending:
         groups.setdefault(key(preps[i]), []).append(i)
 
+    def fkey(p):
+        # flatten eligibility: identical kernels, surface matrices and
+        # sun geometry (host-side values only — no device fetches)
+        return (p.kernel_key, p.surf_key, float(p.lum.mus),
+                p.cfg.view.zout_km)
+
     for members in groups.values():
+        if len(members) > 1:
+            # cases that differ ONLY in profiles/AIK/albedo (spectral,
+            # AOT, albedo sweeps) FLATTEN into one term axis and solve
+            # at single-case dispatch speed — the vmapped multiband path
+            # measures ~2x slower per instance (r5 lab)
+            fgroups: dict = {}
+            for i in members:
+                fgroups.setdefault(fkey(preps[i]), []).append(i)
+            rest = []
+            for fs in fgroups.values():
+                if len(fs) >= 2:
+                    _solve_finish_flat(preps, fs, trace, store)
+                else:
+                    rest.extend(fs)
+            members = rest
+        if not members:
+            continue
         if len(members) == 1:
             i = members[0]
             p = preps[i]
@@ -259,6 +282,88 @@ def _solve_finish_sub(preps, sub, t_max, trace, store) -> None:
             tauout=None if to_h is None else to_h[c, :nt_i],
             ig_last=None if ig_h is None else ig_h[c, :nt_i],
             stop_code=None if sc_h is None else sc_h[c, :nt_i])
+        _narrate_convergence(p, res_c, tr)
+        store(i, trphi_option(p.cfg, finish_case(
+            p, res_c, trace, recs=recs_h[c])))
+
+
+def _solve_finish_flat(preps, fset, trace, store) -> None:
+    """Flattened solve of cases sharing kernels/surface/geometry.
+
+    The cases' (already instance-block-padded) term axes concatenate into
+    ONE (S, T_flat) grid — the same shape class as a single big CKD case,
+    dispatched through the planner-guarded blocked-chunked driver.  The
+    per-case albedo broadcasts as a per-term ``rho`` vector; per-case AIK
+    aggregation is one device einsum with a (C, T_flat) weight matrix
+    whose zeros also drop the padded duplicate terms.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import pallas_ops, solver
+    from .proc import (_aggregate_cases_jit, _narrate_convergence,
+                       _solve_batch, finish_case, trphi_option)
+    from .tracing import NullTrace
+
+    tr = trace or NullTrace()
+    inps = [preps[i].inp for i in fset]
+    counts = [int(i.h.shape[0]) for i in inps]
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    t_flat = int(offs[-1])
+    # tail-pad to the Pallas instance block (one shared kernel -> any
+    # block composition is valid; the weight matrix zeros the pad)
+    t_pad = ((t_flat + pallas_ops._IB - 1)
+             // pallas_ops._IB) * pallas_ops._IB if solver.on_tpu() \
+        else t_flat
+    i0 = inps[0]
+
+    def cat(get):
+        parts = [get(i) for i in inps]
+        if t_pad != t_flat:
+            reps = jnp.broadcast_to(
+                parts[-1][-1:], (t_pad - t_flat,) + parts[-1].shape[1:])
+            parts.append(reps)
+        return jnp.concatenate(parts, axis=0)
+
+    rho_flat = cat(lambda i: jnp.broadcast_to(
+        jnp.asarray(i.surface.rho), (i.h.shape[0],)))
+    inp_flat = i0._replace(
+        h=cat(lambda i: i.h), xdel=cat(lambda i: i.xdel),
+        ydel=cat(lambda i: i.ydel),
+        surface=i0.surface._replace(rho=rho_flat),
+        zprof=None if i0.zprof is None else cat(lambda i: i.zprof))
+
+    p0 = preps[fset[0]]
+    with tr.stage("solve"):
+        tr.event("flatten", n_cases=len(fset), t_flat=t_flat)
+        if p0.iborm + 1 > 24 and t_pad * (p0.iborm + 1) >= 1024:
+            res = solver.solve_fourier_blocked_chunked(inp_flat, p0.opt)
+        else:
+            res = _solve_batch(inp_flat, p0.opt, t_pad)
+
+    with tr.stage("aggregate"):
+        w = np.zeros((len(fset), t_pad))
+        for c, i in enumerate(fset):
+            w[c, offs[c]:offs[c] + preps[i].n_terms] = preps[i].aik
+        recs_mb = _aggregate_cases_jit(
+            jnp.asarray(w, dtype=res.i3z.dtype), res.i3z, res.i3bnd)
+        use_zout = p0.use_zout
+        recs_h, em_h, ep_h, to_h, ig_h, sc_h = jax.device_get(
+            (recs_mb, res.emoins, res.eplus,
+             res.tauout if use_zout else None,
+             res.ig_last, res.stop_code))
+    for c, i in enumerate(fset):
+        p = preps[i]
+        sl = slice(offs[c], offs[c] + p.n_terms)
+        res_c = solver.FourierResult(
+            i3z=None, i3bnd=None,
+            emoins=np.asarray(em_h).reshape(-1)[sl],
+            eplus=np.asarray(ep_h).reshape(-1)[sl],
+            tauout=None if to_h is None
+            else np.asarray(to_h).reshape(-1)[sl],
+            ig_last=None if ig_h is None else ig_h[sl],
+            stop_code=None if sc_h is None else sc_h[sl])
         _narrate_convergence(p, res_c, tr)
         store(i, trphi_option(p.cfg, finish_case(
             p, res_c, trace, recs=recs_h[c])))

@@ -613,6 +613,14 @@ class PreparedCase:
     k_aer: object
     k_mol: object
     io: dict
+    # content keys of the case's kernels and surface matrices (every
+    # generating parameter; albedo excluded — it enters the solve as a
+    # broadcastable scalar).  Cases of a LUT sweep that share BOTH can
+    # flatten into one term axis and solve at single-case dispatch speed
+    # (lut._run_batched: the vmapped multiband path measures ~2x slower
+    # per instance than the flat (S, T) grid, r5)
+    kernel_key: tuple = ()
+    surf_key: tuple = ()
 
 
 def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
@@ -820,10 +828,18 @@ def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
     def _b(a):
         return np.ascontiguousarray(a, dtype=np.float64).tobytes()
 
-    k_aer, k_mol = _kernels_cached(
+    kernel_args = (
         _b(lum.mu), lum.mu.shape[0], float(lum.mus), os_nb, iborm + 1,
         _b(aer_exp.alpha), _b(aer_exp.beta), _b(aer_exp.gamma),
         _b(aer_exp.zeta), float(cfg.mdf), bool(cfg.ipolar))
+    k_aer, k_mol = _kernels_cached(*kernel_args)
+    # every parameter the surface matrices / Fresnel vectors derive from
+    # (albedo excluded: it broadcasts per term in the flattened solve)
+    _s = cfg.surface
+    surf_key = (_s.type, _s.ind, _s.wind, _s.k0, _s.k1, _s.k2,
+                _s.alpha_nadal, _s.beta_nadal, _s.coef_c_maignan,
+                _b(lum.mu), lum.imus, float(lum.thetas_deg),
+                io.get("-SURF.File"))
 
     if ifresnel or igli:
         f11, f12, f33 = flat_sea_fresnel(lum.mu, lum.mus, cfg.surface.ind,
@@ -883,7 +899,8 @@ def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
         n_solved=n_solved, iborm=iborm, aer_exp=aer_exp,
         ttot_vrai_terms=ttot_vrai_terms,
         ttot_tronc_terms=ttot_tronc_terms, use_zout=use_zout,
-        hs=hs, xds=xds, yds=yds, k_aer=k_aer, k_mol=k_mol, io=io)
+        hs=hs, xds=xds, yds=yds, k_aer=k_aer, k_mol=k_mol, io=io,
+        kernel_key=kernel_args, surf_key=surf_key)
 
 
 def dispatch_case(prep: PreparedCase, trace=None,
@@ -971,6 +988,16 @@ _aggregate_records_jit = jax.jit(_aggregate_records)
 #: per-case aggregation of a whole multiband group in one dispatch
 #: (padded terms carry AIK weight 0)
 _aggregate_multiband_jit = jax.jit(jax.vmap(_aggregate_records))
+
+
+@jax.jit
+def _aggregate_cases_jit(w, i3z, i3bnd):
+    """Per-case aggregation of a FLATTENED term axis (lut flatten path):
+    ``w`` (C, T_flat) carries each case's AIK weights in its own slice
+    (zeros elsewhere, including padded duplicate terms)."""
+    mask = jax.vmap(solver.fourier_stop_mask)(i3bnd)
+    return jnp.einsum("kt,ts,tscd->kscd", w, mask.astype(i3z.dtype), i3z,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def finish_case(prep: PreparedCase, res, trace=None,

@@ -1109,9 +1109,11 @@ def solve_fourier_blocked_chunked(inp: SolveInputs, opt: SolveOptions,
         return jnp.pad(x, pad, mode="edge")
 
     tab_b = jnp.ndim(inp.tab) == 1
+    rho_b = jnp.ndim(inp.surface.rho) == 1     # per-term albedo (lut flat)
     h, xdel, ydel = padt(inp.h), padt(inp.xdel), padt(inp.ydel)
     zprof = padt(inp.zprof)
     tab = padt(inp.tab) if tab_b else inp.tab
+    rho = padt(inp.surface.rho) if rho_b else inp.surface.rho
     n0_col = padt(inp.n0_col) if inp.n0_col is not None else None
 
     parts = []
@@ -1121,6 +1123,7 @@ def solve_fourier_blocked_chunked(inp: SolveInputs, opt: SolveOptions,
             h=h[sl], xdel=xdel[sl], ydel=ydel[sl],
             zprof=None if zprof is None else zprof[sl],
             tab=tab[sl] if tab_b else tab,
+            surface=inp.surface._replace(rho=rho[sl] if rho_b else rho),
             n0_col=None if n0_col is None else n0_col[sl])
         parts.append(solve_fourier_blocked(ci, opt, block, seuil_sf,
                                            solve_fn))
