@@ -151,6 +151,21 @@ def exp_profiles_batch(tr: float, hr: float, ta: float, ha: float,
                        altabs: np.ndarray, tabs_batch: np.ndarray):
     """One native call building every CKD term's profile."""
     from ..profile import Profile
+    z, h, pca, pcm, nts = exp_profiles_batch_arrays(
+        tr, hr, ta, ha, altabs, tabs_batch)
+    return [Profile(zprof=z[t, : nts[t] + 1], h=h[t, : nts[t] + 1],
+                    pcaer=pca[t, : nts[t] + 1], pcmol=pcm[t, : nts[t] + 1])
+            for t in range(tabs_batch.shape[0])]
+
+
+def exp_profiles_batch_arrays(tr: float, hr: float, ta: float, ha: float,
+                              altabs: np.ndarray, tabs_batch: np.ndarray):
+    """Raw-array variant of :func:`exp_profiles_batch`.
+
+    Returns ``(z, h, pcaer, pcmol, nts)`` with shapes (T, OS_NT+2) and
+    (T,) — the hot production path consumes these directly (building
+    2000 ``Profile`` objects with per-term slices cost ~0.5 s of a
+    spectral sweep's host setup, r5 profile)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native profil library unavailable")
@@ -177,6 +192,4 @@ def exp_profiles_batch(tr: float, hr: float, ta: float, ha: float,
                                  pca.reshape(-1), pcm.reshape(-1), nts)
     if np.any(nts < 0):
         raise RuntimeError("native tau->z bisection did not converge")
-    return [Profile(zprof=z[t, : nts[t] + 1], h=h[t, : nts[t] + 1],
-                    pcaer=pca[t, : nts[t] + 1], pcmol=pcm[t, : nts[t] + 1])
-            for t in range(n_terms)]
+    return z, h, pca, pcm, nts

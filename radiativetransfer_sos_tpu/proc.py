@@ -203,9 +203,16 @@ def aerosol_properties(cfg: SosConfig, mie_grid):
         except (OSError, TypeError):
             return (path,)
 
+    # an external phase function (IMOD=4) with no AOT reference rescale
+    # is wavelength-INDEPENDENT — a 1 cm^-1 spectral sweep then reuses
+    # one expansion instead of recomputing per wavelength
+    wl_free = (cfg.aerosols.model == 4
+               and (cfg.aerosols.waref == UNSET
+                    or abs(cfg.aerosols.waref - cfg.wavelength) < 1e-9))
     key = (_json.dumps(_dc.asdict(cfg.aerosols), sort_keys=True,
                        default=str),
-           float(cfg.wavelength), cfg.angles.nbmu_mie, cfg.angles.nbmu_lum,
+           0.0 if wl_free else float(cfg.wavelength),
+           cfg.angles.nbmu_mie, cfg.angles.nbmu_lum,
            np.ascontiguousarray(mie_grid.mu).tobytes(),
            _stamp(cfg.aerosols.external_file),
            _stamp(getattr(cfg.aerosols, "mixture_file", None)))
@@ -370,24 +377,31 @@ def surface_matrices(cfg: SosConfig, grid
 
 def truncation_adjust(h, pcaer, pcmol, piz, piz_tronc, coef_tronca):
     """tau-profile rescale for the truncated phase function + conversion of
-    the aerosol extinction fraction into a scattering fraction."""
+    the aerosol extinction fraction into a scattering fraction.
+
+    Batched: the level axis is the LAST axis; any leading axes (e.g. the
+    CKD term batch) broadcast — a per-term Python loop here cost ~0.1 s
+    per 2000 terms of a spectral sweep (r5 profile)."""
     h = np.asarray(h, dtype=np.float64).copy()
     xdel = np.asarray(pcaer, dtype=np.float64).copy()
     ydel = np.asarray(pcmol, dtype=np.float64).copy()
     a = coef_tronca
     if a != 0.0:
-        dh = np.diff(h)
-        va = xdel[1:] * dh
+        dh = np.diff(h, axis=-1)
+        va = xdel[..., 1:] * dh
         vatr = va * (1.0 - piz * 0.5 * a)
-        vr = ydel[1:] * dh
-        vg = (1.0 - xdel[1:] - ydel[1:]) * dh
+        vr = ydel[..., 1:] * dh
+        vg = (1.0 - xdel[..., 1:] - ydel[..., 1:]) * dh
         tot = vatr + vr + vg
-        htr = np.concatenate([[h[0]], h[0] + np.cumsum(tot)])
+        htr = np.concatenate(
+            [h[..., :1], h[..., :1] + np.cumsum(tot, axis=-1)], axis=-1)
         with np.errstate(invalid="ignore", divide="ignore"):
-            xdel = np.concatenate([[xdel[0]],
-                                   np.where(tot > 0, vatr / tot, 0.0)])
-            ydel = np.concatenate([[ydel[0]],
-                                   np.where(tot > 0, vr / tot, 0.0)])
+            xdel = np.concatenate(
+                [xdel[..., :1], np.where(tot > 0, vatr / tot, 0.0)],
+                axis=-1)
+            ydel = np.concatenate(
+                [ydel[..., :1], np.where(tot > 0, vr / tot, 0.0)],
+                axis=-1)
         h = htr
     xdel = xdel * piz_tronc
     return h, xdel, ydel
@@ -769,16 +783,29 @@ def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
 
     # --- per-term profiles (C15) + truncation adjustment (C16)
     from . import native
+    from .pallas_ops import pad_levels
     trace_prof = trace.stage("profiles"); trace_prof.__enter__()
+
+    def _quantize(nt_max):
+        # quantize the static layer count (multiple of 64, capped at the
+        # Pallas level-chunk boundary): spectral-sweep cases then share
+        # one solve shape — one executable, one multiband group —
+        # instead of one per adaptive layer count.  The bottom-
+        # replicated pad rows are zero-thickness, exact no-ops for the
+        # sweep (Profile.padded)
+        return min(((nt_max + 63) // 64) * 64, pad_levels(nt_max) - 1)
+
+    raw = None
     if cfg.profile.type == 2:
         profs = [profile.slab_profile(tr, cfg.profile.hr, ta,
                                       cfg.profile.zmin, cfg.profile.zmax)
                  for _ in range(n_terms)]
     elif use_abs and native.available():
-        # one native call builds every term's adaptive grid (the Python
-        # loop dominates setup at large CKD term counts)
-        profs = native.exp_profiles_batch(tr, cfg.profile.hr, ta,
-                                          cfg.profile.ha, altabs, tau_terms)
+        # one native call builds every term's adaptive grid, consumed as
+        # raw arrays (per-term Profile objects + Python pad/truncation
+        # loops cost ~0.6 s per 2000 terms of a spectral sweep, r5)
+        raw = native.exp_profiles_batch_arrays(
+            tr, cfg.profile.hr, ta, cfg.profile.ha, altabs, tau_terms)
     else:
         profs = []
         for k in range(n_terms):
@@ -790,30 +817,28 @@ def prepare_case(cfg: SosConfig, trace=None, mesh=None) -> PreparedCase:
                 p = profile.exp_profile_no_gas(tr, cfg.profile.hr, ta,
                                                cfg.profile.ha)
             profs.append(p)
-    nt_max = max(p.nt for p in profs)
-    # quantize the static layer count (multiple of 64, capped at the
-    # Pallas level-chunk boundary): spectral-sweep cases then share one
-    # solve shape — one executable, one multiband group — instead of one
-    # per adaptive layer count.  The bottom-replicated pad rows are
-    # zero-thickness, exact no-ops for the sweep (Profile.padded)
-    from .pallas_ops import pad_levels
-    nt_max = min(((nt_max + 63) // 64) * 64, pad_levels(nt_max) - 1)
-    ttot_vrai_terms = np.array([p.h[-1] for p in profs])
 
-    hs, xds, yds, zprofs = [], [], [], []
-    for p in profs:
-        pp = p.padded(nt_max)
-        h, xd, yd = truncation_adjust(pp.h, pp.pcaer, pp.pcmol,
-                                      aer_exp.piz, aer_exp.piz_tronc,
-                                      aer_exp.coef_tronca)
-        hs.append(h)
-        xds.append(xd)
-        yds.append(yd)
-        zprofs.append(pp.zprof)
-    hs = np.stack(hs)
-    xds = np.stack(xds)
-    yds = np.stack(yds)
-    zprofs = np.stack(zprofs)
+    if raw is not None:
+        z_r, h_r, pca_r, pcm_r, nts = raw
+        nt_max = _quantize(int(nts.max()))
+        rows = np.arange(nts.shape[0])[:, None]
+        # bottom-replicated static-shape padding == Profile.padded
+        idx = np.minimum(np.arange(nt_max + 1)[None, :], nts[:, None])
+        ttot_vrai_terms = h_r[rows[:, 0], nts]
+        hs, xds, yds = truncation_adjust(
+            h_r[rows, idx], pca_r[rows, idx], pcm_r[rows, idx],
+            aer_exp.piz, aer_exp.piz_tronc, aer_exp.coef_tronca)
+        zprofs = z_r[rows, idx]
+    else:
+        nt_max = _quantize(max(p.nt for p in profs))
+        ttot_vrai_terms = np.array([p.h[-1] for p in profs])
+        padded = [p.padded(nt_max) for p in profs]
+        hs, xds, yds = truncation_adjust(
+            np.stack([pp.h for pp in padded]),
+            np.stack([pp.pcaer for pp in padded]),
+            np.stack([pp.pcmol for pp in padded]),
+            aer_exp.piz, aer_exp.piz_tronc, aer_exp.coef_tronca)
+        zprofs = np.stack([pp.zprof for pp in padded])
     ttot_tronc_terms = hs[:, -1]
     trace_prof.__exit__(None, None, None)
     if "-AP.Log" in io:
