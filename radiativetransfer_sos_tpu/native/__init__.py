@@ -73,8 +73,9 @@ def _build() -> Optional[str]:
     if os.path.exists(so):
         return so
     try:
-        subprocess.run(["g++", "-O3", "-shared", "-fPIC", _SRC, "-o",
-                        so + ".tmp"], check=True, capture_output=True)
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                        _SRC, "-o", so + ".tmp"],
+                       check=True, capture_output=True)
         os.replace(so + ".tmp", so)
         return so
     except (subprocess.CalledProcessError, FileNotFoundError, OSError):

@@ -13,6 +13,8 @@
 
 #include <cmath>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -311,12 +313,32 @@ void rtsos_exp_profiles_batch(int n_terms, double tr, double hr, double ta,
                               const Consts* c, double* zprof, double* h,
                               double* pca, double* pcm, int* nts) {
   const int stride = c->nt_max + 2;
-  for (int t = 0; t < n_terms; ++t) {
-    nts[t] = rtsos_exp_profile(tr, hr, ta, ha, altabs,
-                               tabs_batch + t * n_abs, n_abs, c,
-                               zprof + t * stride, h + t * stride,
-                               pca + t * stride, pcm + t * stride);
+  // terms are independent: split the batch over the host cores (the
+  // serial loop was ~0.5 s per 2000 terms of a spectral LUT sweep)
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_workers = hw ? static_cast<int>(hw) : 1;
+  if (n_workers > n_terms) n_workers = n_terms;
+  auto run = [&](int lo, int hi) {
+    for (int t = lo; t < hi; ++t) {
+      nts[t] = rtsos_exp_profile(tr, hr, ta, ha, altabs,
+                                 tabs_batch + t * n_abs, n_abs, c,
+                                 zprof + t * stride, h + t * stride,
+                                 pca + t * stride, pcm + t * stride);
+    }
+  };
+  if (n_workers <= 1) {
+    run(0, n_terms);
+    return;
   }
+  std::vector<std::thread> workers;
+  int per = (n_terms + n_workers - 1) / n_workers;
+  for (int w = 0; w < n_workers; ++w) {
+    int lo = w * per;
+    int hi = lo + per < n_terms ? lo + per : n_terms;
+    if (lo >= hi) break;
+    workers.emplace_back(run, lo, hi);
+  }
+  for (auto& th : workers) th.join();
 }
 
 }  // extern "C"
