@@ -781,6 +781,8 @@ def main():
         "scale512": out.get("scale512"),
         "e2e_ckd": out.get("e2e_ckd"),
         "lut_sweep": out.get("lut_sweep"),
+        "e2e_scale": out.get("e2e_scale"),
+        "cold_lut": out.get("cold_lut"),
         "precision_gate": gate,
         "compile_s": t16.get("compile_s"),
         "device": dev.device_kind,
