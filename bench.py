@@ -16,12 +16,18 @@ the round-2/3 benches died mid-run and left no numbers at all):
    HBM-aware ``memplan.pick_dispatch`` parameters.
 4. **e2e_ckd** — the full pipeline (properties + CKD absorption + solve
    + recomposition) on the 765 nm O2 A-band case, first vs repeat run.
-5. **lut_sweep** — a 20-case (AOT x albedo) sweep, sequential vs ONE
-   multiband dispatch (``lut.sos_run_many(batch_cases=True)``).
-6. **roofline** — the scattering-source matmul (MXU-bound) and the Pallas
-   layer sweep vs its associative-scan fallback (HBM-bound), against the
-   chip's peak (BASELINE.md "speed-of-light kernels"), with the numbered
-   gap breakdown.
+5. **lut_sweep** — a 20-case (AOT x albedo) sweep, sequential vs the
+   batched driver (``lut.sos_run_many(batch_cases=True)``: kernel-
+   sharing cases flatten into one term axis, the rest go multiband).
+6. **e2e_scale** — production 1 cm^-1 CKD through the FULL pipeline:
+   the 125-exponential 2.2543 um case and a 50-wavelength/1805-term
+   spectral LUT, cold + warm, with stage shares.
+7. **cold_lut** — the 20-case sweep in fresh subprocesses with the
+   product cache off: fully cold vs persistent-compile-cache cold.
+8. **roofline** — the scattering-source matmul and the Pallas layer
+   sweep vs its associative-scan fallback, against this chip's MEASURED
+   ceilings, with the numbered limiter breakdown (stream-machinery
+   floor, measured-negative fusion/flip/bf16 experiments).
 
 Every section's JSON is printed to **stderr the moment it completes**; the
 final aggregated record is the single stdout JSON line the driver parses.
