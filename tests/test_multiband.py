@@ -209,3 +209,26 @@ def test_multiband_blocked_skips_tail():
     bnd = np.asarray(blk.i3bnd)
     zero_tail = np.all(bnd == 0.0, axis=(0, 1, 3, 4))
     assert zero_tail[-1], "no undispatched trailing orders"
+
+
+def test_flattened_zout_sweep_matches_sequential():
+    """The flatten fast path (cases sharing kernels) with an arbitrary
+    output altitude: per-case tauout comes from the flat per-term vector."""
+    from radiativetransfer_sos_tpu import lut
+    from radiativetransfer_sos_tpu.config import SosConfig
+
+    base = SosConfig(wavelength=0.55)
+    base.angles.thetas_deg = 35.0
+    base.angles.nbmu_lum = 8
+    base.surface.alb = 0.1
+    base.absorption.absprofil = 7
+    base.view.zout_km = 5.0
+    base.igmax = 10
+    cases = lut.sweep_configs(base, {"surface.alb": [0.0, 0.2, 0.4]})
+    seq = lut.sos_run_many(cases)
+    bat = lut.sos_run_many(cases, batch_cases=True)
+    for r_s, r_b in zip(seq, bat):
+        np.testing.assert_array_equal(np.asarray(r_b.up["i"]),
+                                      np.asarray(r_s.up["i"]))
+        np.testing.assert_allclose(r_b.tauout, r_s.tauout, rtol=1e-12)
+        assert r_b.tauout > 0.0
