@@ -6,6 +6,6 @@ absorption via correlated-k distributions, aerosols via Mie theory, and
 ocean/land BRDF-BPDF surfaces).
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from . import angles, constants, gsf, kernels, solver  # noqa: F401
