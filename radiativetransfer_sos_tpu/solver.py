@@ -103,7 +103,9 @@ class SurfaceInputs(NamedTuple):
     replaces the ``n0`` gather, making the grid — and therefore the
     compiled executable — independent of the sun geometry.
     """
-    rho: jnp.ndarray                      # scalar albedo
+    rho: jnp.ndarray                      # Lambertian albedo: scalar, or
+    #   (T,) per term — the lut flatten path folds a sweep's per-case
+    #   albedos into the term axis (both uses broadcast identically)
     rmat: Optional[jnp.ndarray] = None
     f11: Optional[jnp.ndarray] = None
     f12: Optional[jnp.ndarray] = None
