@@ -335,12 +335,24 @@ def _solve_finish_flat(preps, fset, trace, store) -> None:
         zprof=None if i0.zprof is None else cat(lambda i: i.zprof))
 
     p0 = preps[fset[0]]
-    with tr.stage("solve"):
-        tr.event("flatten", n_cases=len(fset), t_flat=t_flat)
-        if p0.iborm + 1 > 24 and t_pad * (p0.iborm + 1) >= 1024:
-            res = solver.solve_fourier_blocked_chunked(inp_flat, p0.opt)
-        else:
-            res = _solve_batch(inp_flat, p0.opt, t_pad)
+    try:
+        with tr.stage("solve"):
+            tr.event("flatten", n_cases=len(fset), t_flat=t_flat)
+            if p0.iborm + 1 > 24 and t_pad * (p0.iborm + 1) >= 1024:
+                res = solver.solve_fourier_blocked_chunked(inp_flat,
+                                                           p0.opt)
+            else:
+                res = _solve_batch(inp_flat, p0.opt, t_pad)
+    except Exception as e:
+        # transient RESOURCE_EXHAUSTED (shared chip / fragmentation):
+        # split and retry, like the multiband sub-group path
+        if "RESOURCE_EXHAUSTED" not in str(e) or len(fset) < 2:
+            raise
+        tr.event("flatten", oom_split=len(fset))
+        half = len(fset) // 2
+        for part in (fset[:half], fset[half:]):
+            _solve_finish_flat(preps, part, trace, store)
+        return
 
     with tr.stage("aggregate"):
         w = np.zeros((len(fset), t_pad))
