@@ -42,10 +42,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     import jax
     # honor JAX_PLATFORMS even when a site hook pre-imported jax and pinned
-    # the platform through jax.config (env vars lose to config updates)
-    plat = os.environ.get("JAX_PLATFORMS")
+    # the platform through jax.config (env vars lose to config updates).
+    # The CPU backend must stay AVAILABLE (not default) regardless: the
+    # f64 Mie sweep and the host-side output path run on it
+    # (mie.run_mie_sweep pins jax.devices("cpu")), and an
+    # accelerator-only platform list makes that lookup fail.
+    plat = (os.environ.get("JAX_PLATFORMS")
+            or (jax.config.jax_platforms or "")).strip().strip(",")
+    if plat and "cpu" not in plat.split(","):
+        plat = plat + ",cpu"
     if plat:
-        jax.config.update("jax_platforms", plat)
+        try:
+            jax.config.update("jax_platforms", plat)
+            jax.devices()
+        except RuntimeError:         # a listed platform failed to init
+            jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)   # reference is f64 throughout
     # persistent kernel cache — the TPU-era analogue of the reference's
     # on-disk product-file memoization (SURVEY.md §5 checkpoint/resume)
