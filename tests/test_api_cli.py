@@ -156,3 +156,31 @@ def test_solar_in_grid_extension_keyword():
                                 "-SURF.Alb": "0.1",
                                 "-ANG.SolarInGrid": "0"})
     assert cfg.angles.solar_in_grid is False
+
+
+def test_cli_subprocess_end_to_end(tmp_path):
+    """The REAL CLI entry in a fresh process (no conftest platform setup):
+    r5 caught the accelerator-only platform list crashing the f64 Mie/CPU
+    lookup — only a subprocess run exercises the CLI's own jax config."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    p = subprocess.run(
+        [sys.executable, "-m", "radiativetransfer_sos_tpu.cli",
+         "-SOS_Main.Wa", "0.550", "-SOS_Main.ResRoot", str(tmp_path),
+         "-ANG.Rad.NbGauss", "8", "-ANG.Thetas", "35.",
+         "-SOS.View", "1", "-SOS.View.Phi", "0.",
+         "-AP.HR", "8.0", "-AP.AbsProfile.Type", "7",
+         "-SURF.Type", "0", "-SURF.Alb", "0.1", "-SOS.IGmax", "20"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path))
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "JOB_STATUS=OK" in p.stdout
+    up = tmp_path / "SOS" / "SOS_Up.txt"
+    assert up.exists()
+    rows = [ln for ln in up.read_text().splitlines()
+            if ln and not ln.startswith("#")]
+    assert len(rows) == 18          # (8 Gauss + solar slot) x half-planes
